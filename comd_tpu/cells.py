@@ -1,0 +1,219 @@
+"""Link-cell geometry: grid sizing, halo ordering, neighbor & halo maps.
+
+Re-derives the reference link-cell structure (src-mpi/linkCells.c:65-182) as
+*static host-side index maps* consumed by the jitted step function.  The
+reference mutates cells with per-atom moves and special-cased 3D<->1D index
+code; on TPU everything becomes fixed-shape gathers driven by the integer
+arrays built here once at init:
+
+  - ``nbr_map[nLocalBoxes, 27]``   27-neighbor cell ids (self included, as in
+                                   getNeighborBoxes, linkCells.c:202-214)
+  - ``halo_src[nHaloBoxes]``       which interior cell each halo cell mirrors
+  - ``halo_shift[nHaloBoxes, 3]``  PBC coordinate shift for that mirror
+  - ``local_box_of_tuple``         row-major (or Hilbert) cell numbering
+
+Cell numbering, including the x/y/z-plane halo ordering, matches
+getBoxFromTuple / getTuple (linkCells.c:299-346, 497-568) exactly so that
+box-indexed diagnostics line up with the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def compute_hilbert_code(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """3D Hilbert curve code, vectorized (reference: linkCells.c:28-63)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    z = np.asarray(z, dtype=np.int64).copy()
+    nbits = 10
+    transform = np.array([0, 1, 7, 6, 3, 2, 4, 5], dtype=np.int64)
+    s = np.zeros_like(x)
+    for i in range(nbits - 1, -1, -1):
+        xi = (x >> i) & 1
+        yi = (y >> i) & 1
+        zi = (z >> i) & 1
+        index = (xi << 2) + (yi << 1) + zi
+        s = (s << 3) + transform[index]
+        # state transforms (swap/complement), applied per-element
+        nx, ny, nz_ = x.copy(), y.copy(), z.copy()
+        m = index == 0
+        nx[m], ny[m], nz_[m] = x[m], z[m], y[m]
+        m = index == 1
+        nx[m], ny[m], nz_[m] = y[m], x[m], z[m]
+        m = index == 2
+        nx[m], ny[m], nz_[m] = x[m], ~z[m], ~y[m]
+        m = index == 3
+        nx[m], ny[m], nz_[m] = ~y[m], ~x[m], z[m]
+        m = (index == 4) | (index == 6)
+        nx[m], ny[m], nz_[m] = ~x[m], y[m], ~z[m]
+        m = index == 5
+        nx[m], ny[m], nz_[m] = y[m], x[m], z[m]
+        m = index == 7
+        nx[m], ny[m], nz_[m] = ~y[m], ~x[m], z[m]
+        x, y, z = nx, ny, nz_
+    return s
+
+
+def _is_pow2(v: int) -> bool:
+    return v > 0 and (v & (v - 1)) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGeometry:
+    """Static link-cell geometry for one domain (rank/shard)."""
+
+    grid: tuple[int, int, int]          # local cells per axis
+    box_size: np.ndarray                # [3] f64
+    inv_box_size: np.ndarray            # [3] f64
+    local_min: np.ndarray               # [3] f64
+    local_max: np.ndarray               # [3] f64
+    n_local: int
+    n_halo: int
+    n_total: int
+    use_hilbert: bool
+    # static maps
+    local_box_of_tuple: np.ndarray      # [gx, gy, gz] -> local box id
+    tuple_of_box: np.ndarray            # [n_total, 3] grid coords (-1..g)
+    nbr_map: np.ndarray                 # [n_local, 27] int32
+    halo_src: np.ndarray                # [n_halo] int32 (serial mirror source)
+    halo_shift: np.ndarray              # [n_halo, 3] f64 (serial PBC shift)
+
+    def box_from_tuple(self, ix, iy, iz):
+        """Vectorized getBoxFromTuple (linkCells.c:299-346)."""
+        gx, gy, gz = self.grid
+        ix = np.asarray(ix, dtype=np.int64)
+        iy = np.asarray(iy, dtype=np.int64)
+        iz = np.asarray(iz, dtype=np.int64)
+        n_local = self.n_local
+
+        zp = n_local + 2 * gz * gy + 2 * gz * (gx + 2) + \
+            (gx + 2) * (gy + 2) + (gx + 2) * (iy + 1) + (ix + 1)
+        zm = n_local + 2 * gz * gy + 2 * gz * (gx + 2) + \
+            (gx + 2) * (iy + 1) + (ix + 1)
+        yp = n_local + 2 * gz * gy + gz * (gx + 2) + (gx + 2) * iz + (ix + 1)
+        ym = n_local + 2 * gz * gy + iz * (gx + 2) + (ix + 1)
+        xp = n_local + gy * gz + iz * gy + iy
+        xm = n_local + iz * gy + iy
+        # local lookup needs in-range indices; clamp for the masked-out lanes
+        lx = np.clip(ix, 0, gx - 1)
+        ly = np.clip(iy, 0, gy - 1)
+        lz = np.clip(iz, 0, gz - 1)
+        local = self.local_box_of_tuple[lx, ly, lz]
+        # priority order matches the reference if/else chain: z, then y, then x
+        return np.select(
+            [iz == gz, iz == -1, iy == gy, iy == -1, ix == gx, ix == -1],
+            [zp, zm, yp, ym, xp, xm],
+            default=local,
+        ).astype(np.int32)
+
+
+def make_geometry(local_min, local_max, cutoff: float,
+                  use_hilbert: bool = False) -> CellGeometry:
+    """Build geometry for a local domain (initLinkCells, linkCells.c:122-182)."""
+    local_min = np.asarray(local_min, dtype=np.float64)
+    local_max = np.asarray(local_max, dtype=np.float64)
+    extent = local_max - local_min
+    grid = tuple(int(extent[i] / cutoff) for i in range(3))  # trunc, as in C
+    if min(grid) < 2:
+        raise ValueError(
+            f"local domain too small: grid {grid} needs >=2 cells per axis "
+            f"(extent {extent}, cutoff {cutoff})")
+    box_size = extent / np.array(grid, dtype=np.float64)
+    gx, gy, gz = grid
+    n_local = gx * gy * gz
+    n_halo = 2 * ((gx + 2) * (gy + gz + 2) + gy * gz)
+    n_total = n_local + n_halo
+
+    if use_hilbert and not (_is_pow2(gx) and _is_pow2(gy) and _is_pow2(gz)):
+        use_hilbert = False
+
+    # local cell numbering (row-major x-fastest, or Hilbert)
+    X, Y, Z = np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz),
+                          indexing="ij")
+    if use_hilbert:
+        box_id = compute_hilbert_code(X, Y, Z)
+    else:
+        box_id = X + Y * gx + Z * gx * gy
+    local_box_of_tuple = box_id.astype(np.int32)
+
+    geom = CellGeometry(
+        grid=grid,
+        box_size=box_size,
+        inv_box_size=1.0 / box_size,
+        local_min=local_min,
+        local_max=local_max,
+        n_local=n_local,
+        n_halo=n_halo,
+        n_total=n_total,
+        use_hilbert=use_hilbert,
+        local_box_of_tuple=local_box_of_tuple,
+        tuple_of_box=np.zeros((n_total, 3), np.int32),  # filled below
+        nbr_map=np.zeros((n_local, 27), np.int32),
+        halo_src=np.zeros((n_halo,), np.int32),
+        halo_shift=np.zeros((n_halo, 3), np.float64),
+    )
+
+    # tuple_of_box: invert numbering for local boxes; enumerate halo tuples
+    tuples = np.zeros((n_total, 3), dtype=np.int32)
+    flat_local = local_box_of_tuple.reshape(-1)
+    coords = np.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], axis=1)
+    tuples[flat_local] = coords
+    # halo tuples: all tuples in [-1..g] shell, mapped through box_from_tuple
+    hx, hy, hz = np.meshgrid(np.arange(-1, gx + 1), np.arange(-1, gy + 1),
+                             np.arange(-1, gz + 1), indexing="ij")
+    hx, hy, hz = hx.reshape(-1), hy.reshape(-1), hz.reshape(-1)
+    is_halo = (hx == -1) | (hx == gx) | (hy == -1) | (hy == gy) | \
+        (hz == -1) | (hz == gz)
+    hx, hy, hz = hx[is_halo], hy[is_halo], hz[is_halo]
+    halo_ids = geom.box_from_tuple(hx, hy, hz)
+    assert halo_ids.min() >= n_local and halo_ids.max() < n_total
+    assert len(np.unique(halo_ids)) == n_halo == len(halo_ids)
+    tuples[halo_ids] = np.stack([hx, hy, hz], axis=1)
+    object.__setattr__(geom, "tuple_of_box", tuples)
+
+    # 27-neighbor map for local cells (self at position 13, as in the
+    # reference loop order i,j,k over -1..1; linkCells.c:202-214)
+    t = tuples[:n_local]
+    offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                indexing="ij"), axis=-1).reshape(27, 3)
+    nbr = geom.box_from_tuple(
+        t[:, None, 0] + offs[None, :, 0],
+        t[:, None, 1] + offs[None, :, 1],
+        t[:, None, 2] + offs[None, :, 2],
+    )
+    object.__setattr__(geom, "nbr_map", nbr.astype(np.int32))
+
+    # serial halo mirror: halo cell <- wrapped local cell, with PBC shift.
+    # (Multi-device halo exchange reuses the same tuples; see parallel/.)
+    src_t = np.stack([hx % gx, hy % gy, hz % gz], axis=1)
+    src_ids = geom.box_from_tuple(src_t[:, 0], src_t[:, 1], src_t[:, 2])
+    shift = np.zeros((len(hx), 3), dtype=np.float64)
+    ext = extent  # serial: local extent == global extent
+    for a, h in enumerate((hx, hy, hz)):
+        shift[:, a] = np.where(h == -1, -ext[a], np.where(h == grid[a], ext[a], 0.0))
+    halo_src = np.zeros((n_halo,), np.int32)
+    halo_shift = np.zeros((n_halo, 3), np.float64)
+    halo_src[halo_ids - n_local] = src_ids
+    halo_shift[halo_ids - n_local] = shift
+    object.__setattr__(geom, "halo_src", halo_src)
+    object.__setattr__(geom, "halo_shift", halo_shift)
+    return geom
+
+
+def box_from_coord(geom: CellGeometry, r: np.ndarray) -> np.ndarray:
+    """Vectorized getBoxFromCoord with ownership tie-breaking
+    (linkCells.c:448-480).  ``r`` is [..., 3]; returns box ids."""
+    rel = (r - geom.local_min) * geom.inv_box_size
+    idx = np.floor(rel).astype(np.int64)
+    out = []
+    for a in range(3):
+        g = geom.grid[a]
+        ia = idx[..., a]
+        inside = r[..., a] < geom.local_max[a]
+        ia = np.where(inside & (ia == g), g - 1, ia)
+        ia = np.where(~inside, g, ia)
+        out.append(np.clip(ia, -1, g))
+    return geom.box_from_tuple(out[0], out[1], out[2])

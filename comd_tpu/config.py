@@ -1,0 +1,101 @@
+"""Run configuration, mirroring the reference CLI surface.
+
+Field-for-field equivalent of the reference ``Command`` struct and its
+defaults (src-mpi/mycommand.c:194-221), plus TPU-specific knobs that replace
+compile-time constants of the reference build (MAXATOMS, precision;
+src-mpi/Makefile:11-21).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Kernel-strategy names accepted by -m/--method.  The reference dispatches six
+# CUDA kernel families (src-mpi/defines.h:10-17); on TPU the thread/warp/cta
+# trichotomy collapses into block-shape tuning of one Pallas kernel family, so
+# the names are kept for CLI compatibility and map onto {xla, pallas} x
+# {cell sweep, neighbor list}.
+METHODS = (
+    "thread_atom",     # default: cell-pair sweep (Pallas on TPU, XLA elsewhere)
+    "thread_atom_nl",  # Verlet neighbor-list variant
+    "warp_atom",       # alias of thread_atom on TPU
+    "warp_atom_nl",    # alias of thread_atom_nl on TPU
+    "cta_cell",        # cell-pair sweep with explicit VMEM staging (Pallas)
+    "cpu_nl",          # pure-jnp reference path (the correctness oracle)
+)
+
+
+@dataclasses.dataclass
+class Config:
+    """All run parameters. Defaults match src-mpi/mycommand.c:194-221."""
+
+    # --- potential selection ---
+    pot_dir: str = "pots"
+    pot_name: str = ""          # default depends on pot_type, see resolve()
+    pot_type: str = "funcfl"    # funcfl | setfl
+    doeam: bool = False
+
+    # --- problem size ---
+    nx: int = 20
+    ny: int = 20
+    nz: int = 20
+
+    # --- device decomposition (processors -> mesh axes) ---
+    xproc: int = 1
+    yproc: int = 1
+    zproc: int = 1
+
+    # --- time stepping ---
+    n_steps: int = 100
+    print_rate: int = 10
+    dt: float = 1.0             # fs
+    lat: float = -1.0           # <0 -> use potential's lattice constant
+    temperature: float = 600.0  # K
+    initial_delta: float = 0.0  # Angstroms
+
+    # --- method / optimization knobs ---
+    method: str = "thread_atom"
+    relative_skin_distance: float = 0.1   # -S (only used by *_nl / pairlist)
+    do_hilbert: bool = False              # -H space-filling cell order
+    gpu_async: int = 0                    # -a: interior/boundary overlap
+    gpu_profile: bool = False             # -s: 0 steps, single force eval
+    lj_interpolation: bool = False        # -I: table-interpolated LJ
+    spline: bool = False                  # -P: cubic-spline tables
+    use_pairlist: bool = False            # -L: persistent pair masks
+
+    # --- TPU-native knobs (replace reference compile-time constants) ---
+    max_atoms: int = 32         # per-cell capacity (reference MAXATOMS=64)
+    dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
+    energy_dtype: str = "float64"
+    box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
+
+    def resolve(self) -> "Config":
+        cfg = dataclasses.replace(self)
+        if not cfg.pot_name:
+            cfg.pot_name = (
+                "Cu01.eam.alloy" if cfg.pot_type == "setfl" else "Cu_u6.eam"
+            )
+        if cfg.method not in METHODS:
+            raise ValueError(
+                f"invalid method {cfg.method!r}; choose one of {METHODS}")
+        if cfg.gpu_profile:
+            cfg.n_steps = 0
+        return cfg
+
+    @property
+    def use_nl(self) -> bool:
+        return self.method in ("thread_atom_nl", "warp_atom_nl", "cpu_nl")
+
+    @property
+    def jax_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def jax_energy_dtype(self):
+        return jnp.dtype(self.energy_dtype)
+
+    @property
+    def nprocs(self) -> int:
+        return self.xproc * self.yproc * self.zproc

@@ -1,0 +1,80 @@
+"""Initial condition generation: FCC lattice, Boltzmann velocities,
+random displacements.  Host-side numpy, bit-compatible with the reference
+(src-mpi/initAtoms.c:81-216) including gid assignment and the per-atom
+deterministic RNG streams, so initial states are identical across any device
+decomposition.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import KB_EV
+from . import rng
+
+
+def create_fcc_lattice(nx: int, ny: int, nz: int, lat: float,
+                       local_min, local_max):
+    """FCC positions+gids inside [local_min, local_max)
+    (createFccLattice, initAtoms.c:81-124).
+
+    Returns (r [n,3] f64, gid [n] int64).
+    """
+    local_min = np.asarray(local_min, dtype=np.float64)
+    local_max = np.asarray(local_max, dtype=np.float64)
+    basis = np.array([[0.25, 0.25, 0.25],
+                      [0.25, 0.75, 0.75],
+                      [0.75, 0.25, 0.75],
+                      [0.75, 0.75, 0.25]], dtype=np.float64)
+
+    begin = np.floor(local_min / lat).astype(np.int64)
+    end = np.ceil(local_max / lat).astype(np.int64)
+
+    ix = np.arange(begin[0], end[0])
+    iy = np.arange(begin[1], end[1])
+    iz = np.arange(begin[2], end[2])
+    IX, IY, IZ, IB = np.meshgrid(ix, iy, iz, np.arange(4), indexing="ij")
+    cell = np.stack([IX, IY, IZ], axis=-1).reshape(-1, 3).astype(np.float64)
+    ib = IB.reshape(-1)
+    r = (cell + basis[ib]) * lat
+    keep = np.all((r >= local_min) & (r < local_max), axis=1)
+    r = r[keep]
+    ib = ib[keep]
+    cell = cell[keep].astype(np.int64)
+    # gid = ib + 4*(iz + nz*(iy + ny*ix))   (initAtoms.c:114)
+    gid = ib + 4 * (cell[:, 2] + nz * (cell[:, 1] + ny * cell[:, 0]))
+    order = np.argsort(gid, kind="stable")
+    return r[order], gid[order]
+
+
+def set_temperature(gid: np.ndarray, mass: float, temperature: float,
+                    n_global: int):
+    """Boltzmann momenta + VCM removal + exact rescale
+    (setTemperature, initAtoms.c:162-198).  Returns p [n,3] f64."""
+    n = gid.shape[0]
+    sigma = np.sqrt(KB_EV * temperature / mass)
+    g = rng.gasdev_n(gid, 123, 3)          # [3, n] in (px, py, pz) call order
+    p = (mass * sigma) * g.T               # [n, 3]
+
+    if temperature == 0.0:
+        return p
+
+    # setVcm(0): momentum shift so total momentum is zero (initAtoms.c:128-150)
+    total_mass = mass * n_global
+    vcm = p.sum(axis=0) / total_mass       # note: global sums when sharded --
+    # caller passes the full gid set in this implementation (init is cheap)
+    p -= mass * vcm
+
+    # rescale to exact temperature (initAtoms.c:183-195)
+    e_kinetic = 0.5 * np.sum(p * p) / mass
+    temp = (e_kinetic / n_global) / KB_EV / 1.5
+    p *= np.sqrt(temperature / temp)
+    return p
+
+
+def random_displacements(r: np.ndarray, gid: np.ndarray, delta: float):
+    """Uniform displacement in [-delta, delta] per axis
+    (randomDisplacements, initAtoms.c:204-216)."""
+    if delta == 0.0:
+        return r
+    u = rng.uniform_n(gid, 457, 3)         # [3, n]
+    return r + (2.0 * u.T - 1.0) * delta

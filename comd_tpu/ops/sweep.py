@@ -1,0 +1,105 @@
+"""Chunked 27-neighbor-cell pair sweep (the XLA force-path workhorse).
+
+TPU-native replacement for the reference's thread_atom/cta_cell CUDA kernels
+(src-mpi/gpu_lj_thread_atom.h:31-143, gpu_eam_thread_atom.h:32-140): instead
+of one CUDA thread per atom walking 27 cells, we materialize the pair geometry
+for a *chunk* of cells at a time -- [C, A, 27A] displacement tensors -- and
+let the VPU reduce over the j axis.  `lax.map` over chunks bounds peak memory;
+empty slots carry a far-away sentinel coordinate so the cutoff mask removes
+them without per-cell occupancy branches.
+
+The same sweep skeleton serves LJ and all three EAM passes; only the
+``pair_fn`` (per-pair physics) changes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cells import CellGeometry
+
+
+def _padded_chunks(geom: CellGeometry, chunk: int) -> tuple[np.ndarray, int]:
+    """Local box ids padded to a multiple of ``chunk`` (pad replays box 0;
+    padded outputs are sliced off)."""
+    n_local = geom.n_local
+    n_chunks = -(-n_local // chunk)
+    boxes = np.zeros((n_chunks * chunk,), dtype=np.int32)
+    boxes[:n_local] = np.arange(n_local, dtype=np.int32)
+    return boxes.reshape(n_chunks, chunk), n_chunks
+
+
+def cell_pair_sweep(
+    geom: CellGeometry,
+    r: jnp.ndarray,                    # [3, B, A]
+    pair_fn: Callable,                 # (r2, mask, i_idx, j_vals) -> (fcoef|None, scalars)
+    rcut2: float,
+    *,
+    scalar_j: Sequence[jnp.ndarray] = (),   # per-atom fields gathered at j
+    chunk: int = 256,
+    want_force: bool = True,
+):
+    """Run ``pair_fn`` over all (local atom i, 27-cell neighbor j) pairs.
+
+    ``pair_fn(r2, mask, sj_list, si_list)`` receives the squared distances
+    [C, A, 27A], the validity mask, each requested per-atom field gathered at
+    the j atoms ([C, 1, 27A]) and at the i atoms ([C, A, 1]); it returns
+    ``(fcoef, scalars)`` where ``fcoef`` (or None) multiplies dr = r_i - r_j
+    and is summed into the force on i, and ``scalars`` is a list of per-pair
+    values summed over j into per-atom outputs [n_local, A].
+
+    Returns (force [3, n_local, A] or None, [scalar outputs...]).
+    """
+    A = r.shape[-1]
+    boxes_chunks, n_chunks = _padded_chunks(geom, chunk)
+    nbr = geom.nbr_map  # [n_local, 27]
+    nbr_chunks = np.take(nbr, boxes_chunks, axis=0)  # [n_chunks, C, 27]
+
+    r = jnp.asarray(r)
+    dtype = r.dtype
+
+    def body(args):
+        boxes_c, nbr_c = args            # [C], [C, 27]
+        ri = r[:, boxes_c]               # [3, C, A]
+        rj = r[:, nbr_c]                 # [3, C, 27, A]
+        rj = rj.reshape(3, rj.shape[1], 27 * A)
+        dr = ri[:, :, :, None] - rj[:, :, None, :]   # [3, C, A, 27A]
+        r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+        mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+
+        sj = [s[nbr_c].reshape(-1, 1, 27 * A) for s in scalar_j]
+        si = [s[boxes_c][:, :, None] for s in scalar_j]
+        fcoef, scalars = pair_fn(r2, mask, sj, si)
+
+        outs = []
+        if want_force:
+            assert fcoef is not None
+            f = jnp.stack([jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)])
+            outs.append(f)                       # [3, C, A]
+        for s in scalars:
+            outs.append(jnp.sum(s, axis=-1))     # [C, A]
+        return tuple(outs)
+
+    results = jax.lax.map(
+        body,
+        (jnp.asarray(boxes_chunks), jnp.asarray(nbr_chunks)),
+    )
+    # lax.map stacks -> [n_chunks, ...]; chunks are contiguous box ranges, so
+    # a reshape + slice restores [n_local, ...].
+    out = []
+    i = 0
+    if want_force:
+        fstk = results[0]                        # [n_chunks, 3, C, A]
+        f = jnp.moveaxis(fstk, 1, 0).reshape(3, n_chunks * boxes_chunks.shape[1], A)
+        out.append(f[:, :geom.n_local])
+        i = 1
+    for res in results[i:]:
+        s = res.reshape(n_chunks * boxes_chunks.shape[1], A)
+        out.append(s[:geom.n_local])
+    force = out[0] if want_force else None
+    scalars = out[1:] if want_force else out
+    return force, scalars

@@ -1,0 +1,157 @@
+"""Tabulated-function interpolation for EAM / interpolated-LJ.
+
+Two schemes, matching the reference's numerics:
+
+1. Quadratic value + 4-point finite-difference derivative on a uniform grid
+   (``interpolate``, src-mpi/eam.c:557-579).  The table carries one padding
+   value on each side (values[-1]=values[0], values[n]=values[n+1]=values[n-1],
+   eam.c:515-517) so the stencil never branches.
+
+2. Cubic spline in r^2 (avoids the sqrt in the hot loop), coefficients built
+   Numerical-Recipes style with y''=0 at the left end and y'=0 at the right
+   end (initSplineCoefficients, src-mpi/gpu_utility.c:377-430; evaluation
+   interpolateSpline, src-mpi/gpu_common.h:95-129).
+
+Both evaluate as pure jnp so they vectorize over pair tensors and fuse into
+the Pallas/XLA force kernels.  Tables are tiny (<=1000 entries) and live in
+VMEM on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class InterpTable:
+    """Uniform-grid quadratic-interpolation table (eam.c:496-519)."""
+
+    n: int
+    x0: float
+    inv_dx: float
+    padded: np.ndarray  # [n+3] f64; padded[k] == reference values[k-1]
+
+    @staticmethod
+    def from_data(n: int, x0: float, dx: float, data: np.ndarray) -> "InterpTable":
+        data = np.asarray(data, dtype=np.float64)
+        assert data.shape == (n,)
+        padded = np.empty(n + 3, dtype=np.float64)
+        padded[1:n + 1] = data
+        padded[0] = data[0]           # values[-1] = values[0]
+        padded[n + 1] = data[n - 1]   # values[n]   = values[n-1]
+        padded[n + 2] = data[n - 1]   # values[n+1] = values[n-1]
+        return InterpTable(n=n, x0=float(x0), inv_dx=1.0 / float(dx), padded=padded)
+
+    def values_device(self, dtype) -> jnp.ndarray:
+        return jnp.asarray(self.padded, dtype=dtype)
+
+
+def interpolate(padded, n: int, x0: float, inv_dx: float, r):
+    """Vectorized quadratic interpolation (eam.c:557-579).
+
+    ``padded`` is the device-resident [n+3] table; ``r`` any-shaped array.
+    Returns (f, df/dr).
+    """
+    r = jnp.maximum(r, x0)
+    rr = (r - x0) * inv_dx
+    ii = jnp.floor(rr).astype(jnp.int32)
+    over = ii > n
+    ii = jnp.minimum(ii, n)
+    frac = jnp.where(over, 0.0, rr - jnp.floor(rr)).astype(padded.dtype)
+
+    tm1 = padded[ii]          # values[ii-1]
+    t0 = padded[ii + 1]       # values[ii]
+    t1 = padded[ii + 2]       # values[ii+1]
+    t2 = padded[ii + 3]       # values[ii+2]
+    g1 = t1 - tm1
+    g2 = t2 - t0
+    f = t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0))
+    df = 0.5 * (g1 + frac * (g2 - g1)) * inv_dx
+    return f, df
+
+
+@dataclasses.dataclass(frozen=True)
+class SplineTable:
+    """Cubic-spline-in-r^2 table (gpu_utility.c:377-430, gpu_common.h:95-129).
+
+    ``coeffs[i] = (a, b, c, d)`` with f(r2) = ((a*r2 + b)*r2 + c)*r2 + d on
+    interval i, and (1/r) df/dr = 2*((3*a*r2 + 2*b... expressed exactly as the
+    reference: df = 2*((3*(a*r2+b) - b)*r2 + c).
+    """
+
+    n: int
+    x0: float
+    xn: float
+    inv_dx: float
+    coeffs: np.ndarray  # [n, 4] f64
+
+
+def make_spline(values: np.ndarray, n: int, x0: float, inv_dx: float) -> SplineTable:
+    """Build spline coefficients over knots x_i = (x0 + i/invDx)^2.
+
+    Port of the reference tridiagonal sweep (gpu_utility.c:377-430): natural
+    (y''=0) at the left end, clamped (y'=0) at the right end.  ``values`` must
+    have at least n+1 entries (the reference reads values[n]).
+    """
+    values = np.asarray(values, dtype=np.float64)
+    assert values.shape[0] >= n + 1
+    dx = 1.0 / inv_dx
+    xs = (x0 + np.arange(n + 2) * dx) ** 2  # knots in r^2 space
+
+    u = np.zeros(n, dtype=np.float64)
+    y2 = np.zeros(n + 1, dtype=np.float64)
+    for i in range(1, n):
+        xi, xp, xn_ = xs[i], xs[i - 1], xs[i + 1]
+        sig = (xi - xp) / (xn_ - xp)
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        ui = (values[i + 1] - values[i]) / (xn_ - xi) - \
+            (values[i] - values[i - 1]) / (xi - xp)
+        u[i] = (6.0 * ui / (xn_ - xp) - sig * u[i - 1]) / p
+    xn_, xnp = xs[n], xs[n - 1]
+    qn = 0.5
+    un = (-3.0 / (xn_ - xnp)) * (values[n] - values[n - 1]) / (xn_ - xnp)
+    y2[n] = (un - qn * u[n - 1]) / (qn * y2[n - 1] + 1.0)
+    for i in range(n - 1, -1, -1):
+        y2[i] = y2[i] * y2[i + 1] + u[i]
+
+    coeffs = np.zeros((n, 4), dtype=np.float64)
+    for i in range(n):
+        x1, x2 = xs[i], xs[i + 1]
+        d2y1, d2y2 = y2[i], y2[i + 1]
+        y1v, y2v = values[i], values[i + 1]
+        h = x2 - x1
+        coeffs[i, 0] = (d2y2 - d2y1) / (6.0 * h)
+        coeffs[i, 1] = (x2 * d2y1 - x1 * d2y2) / (2.0 * h)
+        coeffs[i, 2] = (1.0 / h) * (
+            (-3 * x2 * x2 + h * h) * d2y1 / 6.0
+            + (3 * x1 * x1 - h * h) * d2y2 / 6.0
+            - y1v + y2v)
+        coeffs[i, 3] = (1.0 / h) * (
+            x2 * y1v - x1 * y2v
+            + d2y1 * (x2 ** 3 - x2 * h * h) / 6.0
+            + d2y2 * (-x1 ** 3 + x1 * h * h) / 6.0)
+    return SplineTable(n=n, x0=float(x0), xn=float(x0 + n * dx),
+                       inv_dx=float(inv_dx), coeffs=coeffs)
+
+
+def interpolate_spline(coeffs, n: int, x0: float, xn: float, inv_dx: float, r2):
+    """Vectorized spline evaluation on r^2 (gpu_common.h:95-129).
+
+    Returns (f, df) where df = (1/r) * df/dr (the force kernels multiply by
+    the displacement vector directly, saving the normalization).
+    """
+    r = jnp.sqrt(r2)
+    r = jnp.clip(r, x0, xn)
+    idx = jnp.floor(r * inv_dx - x0 * inv_dx).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n - 1)
+    a = coeffs[idx, 0]
+    b = coeffs[idx, 1]
+    c = coeffs[idx, 2]
+    d = coeffs[idx, 3]
+    tmp = a * r2 + b
+    f = (tmp * r2 + c) * r2 + d
+    df = 2.0 * ((3.0 * tmp - b) * r2 + c)
+    return f, df

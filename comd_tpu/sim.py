@@ -1,0 +1,269 @@
+"""Simulation assembly and the jitted velocity-Verlet step.
+
+Reference mapping:
+  - SimFlat / SimGpu mirrored state  -> one SimState pytree of dense arrays
+    (CoMDTypes.h:75-135, gpu_types.h:159-190)
+  - initSimulation                   -> init_simulation (CoMD.c:200-327)
+  - timestep velocity-Verlet loop    -> `step` closed over static geometry,
+    run under jit + lax.scan (timestep.c:48-100)
+  - redistributeAtoms + sortAtomsGpu -> ops.binning.rebucket
+  - atom halo exchange               -> halo fill (serial) / mesh exchange
+  - kineticEnergy / sumAtoms         -> fused reductions (timestep.c:109-133)
+
+The step function is pure state->state: under jit the whole printRate block
+runs on-device as one XLA program, which is the TPU analog of the reference
+keeping the loop on-GPU with streams (SURVEY.md L5/L8).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cells, lattice
+from .config import Config
+from .constants import KB_EV
+from .ops import binning, force_lj, force_eam
+from .potentials.eam import EamPotential, init_eam_pot
+from .potentials.lj import LjPotential, init_lj_pot
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimState:
+    """Dense per-device cell state. B = nTotalBoxes, A = MAXATOMS capacity."""
+    r: jax.Array          # [3, B, A] positions (halo cells hold PBC images)
+    p: jax.Array          # [3, B, A] momenta
+    f: jax.Array          # [3, B, A] forces (halo region zero)
+    gid: jax.Array        # [B, A] int32, EMPTY_GID in unused slots
+    n_atoms: jax.Array    # [B] int32
+    e_potential: jax.Array  # f64 scalar
+    n_local: jax.Array    # int32 scalar: current locally-owned atom count
+
+
+@dataclasses.dataclass
+class Simulation:
+    """Host-side handle: static params + device state + compiled step."""
+    cfg: Config
+    pot: object                      # LjPotential | EamPotential
+    geom: cells.CellGeometry
+    global_extent: np.ndarray        # [3]
+    n_global: int
+    state: SimState
+    lattice_const: float
+
+    def __post_init__(self):
+        self._step_block = {}
+
+    @property
+    def mass(self) -> float:
+        return self.pot.mass
+
+    # ---------------- force + energy ----------------
+
+    def _force_fn(self):
+        cfg, geom, pot = self.cfg, self.geom, self.pot
+        e_dtype = cfg.jax_energy_dtype
+        chunk = cfg.box_chunk
+
+        if isinstance(pot, EamPotential):
+            def force(r, n_atoms):
+                fill = functools.partial(binning.fill_halo_scalar_serial, geom)
+                f_loc, u_raw, _dfe = force_eam.eam_force(
+                    geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                    e_dtype=e_dtype)
+                A = r.shape[-1]
+                slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (geom.n_local, A), 1)
+                valid = slot < n_atoms[:geom.n_local, None]
+                u, e_pot = force_eam.finalize_eam_energy(u_raw, valid, e_dtype)
+                return f_loc, u, e_pot
+        else:
+            lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
+                     else force_lj.lj_force)
+
+            def force(r, n_atoms):
+                f_loc, u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
+                                        e_dtype=e_dtype)
+                return f_loc, u, e_pot
+        return force
+
+    def _make_step(self):
+        cfg, geom = self.cfg, self.geom
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn()
+        extent = self.global_extent
+        n_local_boxes = geom.n_local
+
+        def half_kick(p, f):
+            return p + p.dtype.type(0.5 * dt) * f
+
+        def step(state: SimState, _):
+            # velocity half kick with forces from the previous step
+            p = half_kick(state.p, state.f)
+            # drift
+            r = state.r + r_dt(p)
+            # redistribute: canonical (cell,gid) rebucket + PBC wrap
+            r_l, p_l, gid, n_atoms, _nmig, _ovf = binning.rebucket(
+                geom, r, p, state.gid, state.n_atoms, wrap_extent=extent)
+            # halo fill (serial periodic images)
+            r_full, gid, n_atoms = binning.fill_halo_serial(
+                geom, r_l, gid, n_atoms)
+            # forces
+            f_loc, _u, e_pot = force(r_full, n_atoms)
+            f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
+                f_loc.astype(state.f.dtype))
+            # second half kick
+            p = half_kick(p_l, f)
+            n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
+            new_state = SimState(r=r_full, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                                 e_potential=e_pot, n_local=n_local)
+            return new_state, ()
+
+        def r_dt(p):
+            return p * p.dtype.type(dt * inv_mass)
+
+        return step
+
+    def step_block(self, n_steps: int) -> None:
+        """Run n_steps of velocity-Verlet as one jitted lax.scan."""
+        if n_steps not in self._step_block:
+            step = self._make_step()
+
+            @jax.jit
+            def block(state):
+                state, _ = jax.lax.scan(step, state, None, length=n_steps)
+                return state
+
+            self._step_block[n_steps] = block
+        self.state = self._step_block[n_steps](self.state)
+
+    def compute_force(self) -> None:
+        """Force-only evaluation (used at init; CoMD.c:314)."""
+        force = self._force_fn()
+
+        @jax.jit
+        def eval_force(state: SimState):
+            f_loc, _u, e_pot = force(state.r, state.n_atoms)
+            f = jnp.zeros_like(state.f).at[:, :self.geom.n_local].set(
+                f_loc.astype(state.f.dtype))
+            return dataclasses.replace(state, f=f, e_potential=e_pot)
+
+        self.state = eval_force(self.state)
+
+    def kinetic_energy(self) -> float:
+        """eKinetic = sum p^2/2m over local atoms (timestep.c:109-133)."""
+        p = self.state.p[:, :self.geom.n_local]
+        e = 0.5 * jnp.sum(
+            jnp.asarray(p, self.cfg.jax_energy_dtype) ** 2) / self.mass
+        return float(e)
+
+    @property
+    def e_potential(self) -> float:
+        return float(self.state.e_potential)
+
+    def sum_atoms(self) -> int:
+        return int(jnp.sum(self.state.n_atoms[:self.geom.n_local]))
+
+    def temperature(self) -> float:
+        return self.kinetic_energy() / self.n_global / KB_EV / 1.5
+
+    def max_occupancy(self) -> int:
+        return int(jnp.max(self.state.n_atoms[:self.geom.n_local]))
+
+
+def init_potential(cfg: Config):
+    if cfg.doeam:
+        return init_eam_pot(cfg.pot_dir, cfg.pot_name, cfg.pot_type)
+    return init_lj_pot()
+
+
+def init_simulation(cfg: Config) -> Simulation:
+    """Build the initial state (initSimulation, CoMD.c:200-327)."""
+    cfg = cfg.resolve()
+    pot = init_potential(cfg)
+
+    lat = cfg.lat if cfg.lat > 0 else pot.lat
+    global_extent = np.array([cfg.nx, cfg.ny, cfg.nz], np.float64) * lat
+
+    skin = (pot.cutoff * cfg.relative_skin_distance
+            if (cfg.use_nl or cfg.use_pairlist) else 0.0)
+    geom = cells.make_geometry(
+        np.zeros(3), global_extent, pot.cutoff + skin,
+        use_hilbert=cfg.do_hilbert)
+
+    # --- host-side scene generation (numpy, reference-exact) ---
+    r, gid = lattice.create_fcc_lattice(
+        cfg.nx, cfg.ny, cfg.nz, lat, np.zeros(3), global_extent)
+    n_global = 4 * cfg.nx * cfg.ny * cfg.nz
+    assert r.shape[0] == n_global, (r.shape, n_global)
+    p = lattice.set_temperature(gid, pot.mass, cfg.temperature, n_global)
+    r = lattice.random_displacements(r, gid, cfg.initial_delta)
+
+    state = bin_atoms_host(geom, cfg, r, p, gid)
+    sim = Simulation(cfg=cfg, pot=pot, geom=geom,
+                     global_extent=global_extent, n_global=n_global,
+                     state=state, lattice_const=lat)
+
+    # fill halo + first force (CoMD.c:303-318)
+    sim.state = _initial_halo(sim)
+    sim.compute_force()
+    return sim
+
+
+def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,
+                   r: np.ndarray, p: np.ndarray, gid: np.ndarray) -> SimState:
+    """Host binning of generated atoms into the dense cell layout."""
+    A = cfg.max_atoms
+    B = geom.n_total
+    dtype = np.dtype(cfg.dtype)
+
+    box = cells.box_from_coord(geom, r)
+    assert box.max() < geom.n_local, "generated atom outside local domain"
+    order = np.lexsort((gid, box))
+    box_s = box[order]
+    counts = np.bincount(box_s, minlength=B).astype(np.int32)
+    if counts.max() > A:
+        raise ValueError(
+            f"cell occupancy {counts.max()} exceeds capacity {A}; "
+            f"increase Config.max_atoms")
+    starts = np.zeros(B, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(len(box_s)) - starts[box_s]
+    dest = box_s.astype(np.int64) * A + rank
+
+    r_arr = np.full((3, B * A), binning.EMPTY_POS, dtype=dtype)
+    p_arr = np.zeros((3, B * A), dtype=dtype)
+    gid_arr = np.full((B * A,), binning.EMPTY_GID, dtype=np.int32)
+    for a in range(3):
+        r_arr[a, dest] = r[order, a]
+        p_arr[a, dest] = p[order, a]
+    gid_arr[dest] = gid[order]
+
+    e_dtype = np.dtype(cfg.energy_dtype)
+    return SimState(
+        r=jnp.asarray(r_arr.reshape(3, B, A)),
+        p=jnp.asarray(p_arr.reshape(3, B, A)),
+        f=jnp.zeros((3, B, A), dtype=dtype),
+        gid=jnp.asarray(gid_arr.reshape(B, A)),
+        n_atoms=jnp.asarray(counts),
+        e_potential=jnp.zeros((), dtype=e_dtype),
+        n_local=jnp.asarray(len(gid), jnp.int32),
+    )
+
+
+def _initial_halo(sim: Simulation) -> SimState:
+    geom = sim.geom
+
+    @jax.jit
+    def fill(state: SimState):
+        r, gid, n_atoms = binning.fill_halo_serial(
+            geom, state.r, state.gid, state.n_atoms)
+        return dataclasses.replace(state, r=r, gid=gid, n_atoms=n_atoms)
+
+    return fill(sim.state)

@@ -1,0 +1,66 @@
+"""Golden-value tests: cohesive energy of the perfect FCC lattice.
+
+The reference documents these as its primary correctness contract
+(src-mpi/CoMD.c:893-900): with -T 0 -r 0, initial potential energy per atom
+must reproduce the published values for any lattice size.
+"""
+import pytest
+
+from comd_tpu import Config, init_simulation
+
+GOLDEN_LJ = -1.243619295058
+GOLDEN_EAM_ADAMS = -3.538079224691
+GOLDEN_EAM_MISHIN = -3.539999969176
+
+
+def cohesive(cfg: Config) -> float:
+    sim = init_simulation(cfg)
+    assert sim.sum_atoms() == sim.n_global
+    return sim.e_potential / sim.n_global
+
+
+def base_cfg(**kw) -> Config:
+    return Config(nx=6, ny=6, nz=6, temperature=0.0, dtype="float64",
+                  max_atoms=40, box_chunk=32, pot_dir="pots", **kw)
+
+
+def test_lj_cohesive_energy():
+    assert cohesive(base_cfg()) == pytest.approx(GOLDEN_LJ, abs=1e-9)
+
+
+def test_lj_cohesive_energy_f32():
+    cfg = base_cfg()
+    cfg.dtype = "float32"
+    assert cohesive(cfg) == pytest.approx(GOLDEN_LJ, abs=5e-7)
+
+
+def test_eam_adams_cohesive_energy():
+    cfg = base_cfg(doeam=True, pot_type="funcfl")
+    assert cohesive(cfg) == pytest.approx(GOLDEN_EAM_ADAMS, abs=1e-9)
+
+
+def test_eam_mishin_cohesive_energy():
+    cfg = base_cfg(doeam=True, pot_type="setfl")
+    assert cohesive(cfg) == pytest.approx(GOLDEN_EAM_MISHIN, abs=1e-9)
+
+
+def test_lj_interpolated_close_to_analytic():
+    """-I table-interpolated LJ agrees with analytic to table accuracy."""
+    cfg = base_cfg(lj_interpolation=True)
+    assert cohesive(cfg) == pytest.approx(GOLDEN_LJ, abs=1e-5)
+
+
+def test_eam_spline_close_to_quadratic():
+    """-P cubic-spline EAM agrees with quadratic interpolation closely."""
+    cfg = base_cfg(doeam=True, spline=True)
+    assert cohesive(cfg) == pytest.approx(GOLDEN_EAM_ADAMS, abs=1e-5)
+
+
+def test_hilbert_ordering_same_energy():
+    """-H Hilbert cell numbering must not change the physics.
+
+    6^3 cells with EAM cutoff gives a 4x4x4 (power-of-2) local grid, the case
+    Hilbert ordering supports (linkCells.c:151-154).
+    """
+    cfg = base_cfg(doeam=True, do_hilbert=True)
+    assert cohesive(cfg) == pytest.approx(GOLDEN_EAM_ADAMS, abs=1e-9)
