@@ -87,7 +87,8 @@ def wrap_pbc(r, global_extent):
     return jnp.where(r >= L, r - L, r)
 
 
-def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None):
+def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None,
+             keep_halo: bool = False):
     """Re-bin all local atoms into canonical (cell, gid) dense layout.
 
     Args:
@@ -98,9 +99,14 @@ def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None):
         into [0, L) so every atom lands in a local cell.  In the sharded case
         the caller leaves this None and handles halo-cell landers via the
         migration exchange.
+      keep_halo: sharded case -- atoms that bin into halo cells (they drifted
+        off this shard) are *kept* in those halo cells so the staged exchange
+        can ship them to their new owner (the reference equivalent: drifted
+        atoms moved into halo link cells by updateLinkCells, then sent;
+        timestep.c:222-276).
 
-    Returns (r, p, gid, n_atoms, n_migrating, overflow) with halo boxes
-    emptied (emptyHaloCells, linkCells.c:483-487) and every local box's atoms
+    Returns (r, p, gid, n_atoms, n_migrating, overflow) with stale halo boxes
+    emptied (emptyHaloCells, linkCells.c:483-487) and every box's atoms
     sorted by gid and compacted to the front.
     """
     A = r.shape[-1]
@@ -148,7 +154,8 @@ def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None):
     run_start = jax.lax.cummax(jnp.where(is_start, ar, 0))
     rank = ar - run_start
 
-    in_cell = box_s < jnp.int32(n_local)
+    max_box = geom.n_total if keep_halo else n_local
+    in_cell = box_s < jnp.int32(max_box)
     overflow = jnp.any(in_cell & (rank >= A))
     dest = jnp.where(in_cell & (rank < A), box_s * A + rank,
                      jnp.int32(B * A))  # out-of-range -> dropped
@@ -165,6 +172,70 @@ def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None):
         in_cell.astype(jnp.int32), mode="drop")
 
     return new_r, new_p, new_gid, counts, n_migrating, overflow
+
+
+def append_arrivals(geom: CellGeometry, r, p, gid, n_atoms,
+                    arr_r, arr_p, arr_gid, arr_valid):
+    """Merge exchange arrivals into cells by coordinate binning.
+
+    ``arr_*`` are flat arrival buffers ([3, M] / [M]).  Each valid arrival is
+    binned with the ownership rules (getBoxFromCoord) into a local cell
+    (migrated atom) or a halo cell (ghost) and appended after the cell's
+    current contents; canonical in-cell gid order is restored afterwards by
+    sort_cells().  Reference analog: unloadAtomsBuffer -> computeBoxIds +
+    UnloadAtomsBufferPacked (src-mpi/gpu_redistribute.h:497-620).
+
+    Returns (r, p, gid, n_atoms, overflow).
+    """
+    A = r.shape[-1]
+    B = r.shape[1]
+    M = arr_gid.shape[0]
+
+    box = box_from_coord_jnp(geom, arr_r[0], arr_r[1], arr_r[2])
+    box = jnp.where(arr_valid, box, jnp.int32(geom.n_total))
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).reshape(M)
+    box_s, _g, perm = jax.lax.sort((box, arr_gid, idx), num_keys=2)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).reshape(M)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), box_s[1:] != box_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, ar, 0))
+    rank = ar - run_start
+
+    in_cell = box_s < jnp.int32(geom.n_total)
+    base = n_atoms[jnp.clip(box_s, 0, B - 1)]
+    slot = base + rank
+    overflow = jnp.any(in_cell & (slot >= A))
+    dest = jnp.where(in_cell & (slot < A), box_s * A + slot, jnp.int32(B * A))
+
+    r = jnp.stack([
+        r[a].reshape(B * A).at[dest].set(arr_r[a][perm], mode="drop")
+        for a in range(3)]).reshape(3, B, A)
+    p = jnp.stack([
+        p[a].reshape(B * A).at[dest].set(arr_p[a][perm], mode="drop")
+        for a in range(3)]).reshape(3, B, A)
+    gid = gid.reshape(B * A).at[dest].set(arr_gid[perm],
+                                          mode="drop").reshape(B, A)
+    n_atoms = n_atoms.at[box_s].add(in_cell.astype(jnp.int32), mode="drop")
+    return r, p, gid, n_atoms, overflow
+
+
+def sort_cells(r, p, gid):
+    """Canonical in-cell gid sort (all cells), [B, A] row-wise.
+
+    Replaces the reference's boundary-cell merge sort + shuffle
+    (SortAtomsByGlobalId / ShuffleAtomsData, gpu_redistribute.h:735-848) and
+    the hash-table slot-stability machinery (hashTable.c): with gid-canonical
+    cells, a ghost cell's slot order always equals its owner cell's, so the
+    EAM dfEmbed exchange is a plain slot-aligned block copy.
+    """
+    order = jnp.argsort(gid, axis=-1)
+    gid = jnp.take_along_axis(gid, order, axis=-1)
+    r = jnp.stack([jnp.take_along_axis(r[a], order, axis=-1)
+                   for a in range(3)])
+    p = jnp.stack([jnp.take_along_axis(p[a], order, axis=-1)
+                   for a in range(3)])
+    return r, p, gid
 
 
 def fill_halo_serial(geom: CellGeometry, r, gid, n_atoms, dtype=None):

@@ -1,0 +1,174 @@
+"""Staged halo / migration exchange over a 3D device mesh.
+
+TPU-native rebuild of the reference's haloExchange machinery
+(src-mpi/haloExchange.c): the 6-message staged pattern -- x, then y, then z,
+with received corner/edge data forwarded in later stages
+(haloExchange.c:8-29) -- expressed as `lax.ppermute` collectives inside
+`shard_map`.  All of the reference's transports (blocking MPI, libmp
+ready-flag one-sided, GPUDirect stream-async, kernel-initiated) collapse into
+this one program: XLA owns buffer registration, readiness and ordering, and
+overlaps the collectives with independent compute (the `-a 1` capability).
+
+Design choices vs. the reference:
+
+  * Positions are stored in *shard-local* frames, so the PBC coordinate
+    shift on receive is a uniform +/- localExtent per axis -- no
+    rank-position special cases (cf. shift factors haloExchange.c:310-323).
+  * The atom exchange ships whole fixed-capacity cell blocks: two planes per
+    face (outer local plane = ghosts, halo plane = migrants), full extended
+    cross-section, like the reference's cell lists (haloExchange.c:1543-1567).
+    Receivers re-bin arrivals by coordinate, which places ghosts in halo
+    cells and migrants in local cells uniformly.
+  * The force (dfEmbed) exchange ships one plane per face with the growing
+    cross-section (x: local cross, y: x-extended, z: fully extended;
+    haloExchange.c:345-475, 1712-1801) and writes receiver halo cells
+    directly: canonical in-cell gid order makes ghost cells slot-aligned
+    with their owner cells, eliminating the reference's hash-table / in-cell
+    sort machinery (hashTable.c, gpu_redistribute.h:514-554).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cells import CellGeometry
+from ..ops import binning
+
+
+def _cells_where(geom: CellGeometry, axis: int, values, cross) -> np.ndarray:
+    """Box ids whose tuple has t[axis] in ``values`` and the other axes
+    within ``cross`` bounds; ordered lexicographically by tuple so sender and
+    receiver lists correspond element-wise."""
+    t = geom.tuple_of_box
+    mask = np.isin(t[:, axis], values)
+    for a in range(3):
+        if a == axis:
+            continue
+        lo, hi = cross[a]
+        mask &= (t[:, a] >= lo) & (t[:, a] <= hi)
+    ids = np.flatnonzero(mask)
+    order = np.lexsort((t[ids, 2], t[ids, 1], t[ids, 0]))
+    return ids[order].astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExchangePlan:
+    """Static send/recv cell lists for the 3-stage exchange."""
+    # atom exchange: [axis][dir] -> box id array (dir 0 = minus, 1 = plus)
+    atom_send: tuple
+    # force exchange: send and recv lists, growing cross-section
+    force_send: tuple
+    force_recv: tuple
+    axis_names: tuple[str, str, str]
+    local_extent: np.ndarray  # [3]
+
+
+def make_plan(geom: CellGeometry, axis_names=("x", "y", "z")) -> ExchangePlan:
+    g = geom.grid
+    full = {a: (-1, g[a]) for a in range(3)}
+    local = {a: (0, g[a] - 1) for a in range(3)}
+
+    atom_send = []
+    for axis in range(3):
+        minus = _cells_where(geom, axis, [-1, 0], full)
+        plus = _cells_where(geom, axis, [g[axis] - 1, g[axis]], full)
+        atom_send.append((minus, plus))
+
+    # force exchange: growing cross-section (x local, y x-extended, z full)
+    crosses = [
+        {0: local[0], 1: local[1], 2: local[2]},
+        {0: full[0], 1: local[1], 2: local[2]},
+        {0: full[0], 1: full[1], 2: local[2]},
+    ]
+    force_send, force_recv = [], []
+    for axis in range(3):
+        c = crosses[axis]
+        send_minus = _cells_where(geom, axis, [0], c)
+        send_plus = _cells_where(geom, axis, [g[axis] - 1], c)
+        recv_minus = _cells_where(geom, axis, [-1], c)       # from minus nbr
+        recv_plus = _cells_where(geom, axis, [g[axis]], c)   # from plus nbr
+        force_send.append((send_minus, send_plus))
+        force_recv.append((recv_minus, recv_plus))
+
+    return ExchangePlan(
+        atom_send=tuple(atom_send),
+        force_send=tuple(force_send),
+        force_recv=tuple(force_recv),
+        axis_names=tuple(axis_names),
+        local_extent=(geom.local_max - geom.local_min),
+    )
+
+
+def _shift_perms(axis_name: str):
+    """ppermute permutations: send-to-minus and send-to-plus along an axis."""
+    n = jax.lax.axis_size(axis_name)
+    to_minus = [(i, (i - 1) % n) for i in range(n)]
+    to_plus = [(i, (i + 1) % n) for i in range(n)]
+    return to_minus, to_plus
+
+
+def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
+                   r, p, gid, n_atoms):
+    """3-stage staged atom exchange (ghosts + migration + forwarding).
+
+    Must be called inside shard_map over the plan's mesh axes, with cells
+    freshly rebucketed (keep_halo=True).  Returns updated
+    (r, p, gid, n_atoms, overflow); caller applies sort_cells afterwards to
+    restore canonical in-cell order.
+    """
+    A = r.shape[-1]
+    dtype = r.dtype
+    overflow = jnp.zeros((), jnp.bool_)
+
+    for axis in range(3):
+        name = plan.axis_names[axis]
+        to_minus, to_plus = _shift_perms(name)
+        ext = dtype.type(plan.local_extent[axis])
+
+        minus_ids, plus_ids = plan.atom_send[axis]
+        bufs = []
+        for ids in (minus_ids, plus_ids):
+            ids_j = jnp.asarray(ids)
+            bufs.append((r[:, ids_j], p[:, ids_j], gid[ids_j],
+                         n_atoms[ids_j]))
+        # pack both directions before any unload (reference per-axis order)
+        recv_from_plus = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, name, to_minus), bufs[0])
+        recv_from_minus = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, name, to_plus), bufs[1])
+
+        for (br, bp, bg, bn), shift in (
+                (recv_from_minus, -ext), (recv_from_plus, +ext)):
+            nmsg = bg.shape[0]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
+            valid = (slot < bn[:, None]).reshape(-1)
+            arr_r = br.reshape(3, -1)
+            arr_r = arr_r.at[axis].add(shift)
+            arr_p = bp.reshape(3, -1)
+            arr_g = bg.reshape(-1)
+            r, p, gid, n_atoms, ovf = binning.append_arrivals(
+                geom, r, p, gid, n_atoms, arr_r, arr_p, arr_g, valid)
+            overflow |= ovf
+
+    return r, p, gid, n_atoms, overflow
+
+
+def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x):
+    """Staged halo exchange of a per-atom scalar field (EAM dfEmbed).
+
+    Slot-aligned cell-block copies; growing cross-section forwards edge and
+    corner values (eam.c:59-72, haloExchange.c:345-475).
+    """
+    for axis in range(3):
+        name = plan.axis_names[axis]
+        to_minus, to_plus = _shift_perms(name)
+        (send_m, send_p) = plan.force_send[axis]
+        (recv_m, recv_p) = plan.force_recv[axis]
+        got_from_plus = jax.lax.ppermute(x[jnp.asarray(send_m)], name, to_minus)
+        got_from_minus = jax.lax.ppermute(x[jnp.asarray(send_p)], name, to_plus)
+        x = x.at[jnp.asarray(recv_p)].set(got_from_plus)
+        x = x.at[jnp.asarray(recv_m)].set(got_from_minus)
+    return x

@@ -1,0 +1,272 @@
+"""Multi-device simulation: spatial domain decomposition over a 3D mesh.
+
+The reference's MPI rank grid (initDecomposition, src-mpi/decomposition.c) a
+becomes a `jax.sharding.Mesh` with axes ('x','y','z'); each device owns one
+spatial brick in its own local coordinate frame.  The whole step -- kick,
+drift, rebucket, 3-stage atom exchange, force (with the EAM mid-force
+dfEmbed exchange), kick -- runs as ONE shard_map-ped XLA program per
+print-rate block, so collectives are overlapped with independent compute by
+the XLA scheduler: the reference's GPUDirect-Async capability (-a 1,
+eam.c:196-264) is a scheduling property here, not a transport.
+
+State arrays carry a leading [Px, Py, Pz] mesh index sharded over the mesh;
+inside shard_map every block is the per-shard dense cell state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import cells, lattice
+from ..config import Config
+from ..constants import KB_EV
+from ..ops import binning, force_lj, force_eam
+from ..potentials.eam import EamPotential
+from . import exchange
+from ..sim import SimState, bin_atoms_host, init_potential
+
+
+def make_mesh(px: int, py: int, pz: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = px * py * pz
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.array(devices[:n]).reshape(px, py, pz)
+    return Mesh(dev, ("x", "y", "z"))
+
+
+@dataclasses.dataclass
+class ShardedSimulation:
+    """Same interface as sim.Simulation, over a device mesh."""
+    cfg: Config
+    pot: object
+    geom: cells.CellGeometry          # per-shard geometry (local frame)
+    plan: exchange.ExchangePlan
+    mesh: Mesh
+    global_extent: np.ndarray
+    n_global: int
+    state: SimState                   # leading dims [Px, Py, Pz]
+    lattice_const: float
+
+    def __post_init__(self):
+        self._step_block = {}
+        self._spec = P("x", "y", "z")
+
+    @property
+    def mass(self) -> float:
+        return self.pot.mass
+
+    @property
+    def proc_grid(self):
+        return tuple(self.mesh.devices.shape)
+
+    # ---------------- per-shard physics (runs inside shard_map) ----------
+
+    def _force_fn(self):
+        cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
+        e_dtype = cfg.jax_energy_dtype
+        chunk = cfg.box_chunk
+
+        if isinstance(pot, EamPotential):
+            def force(r, n_atoms):
+                fill = functools.partial(exchange.exchange_scalar, plan, geom)
+                f_loc, u_raw, _dfe = force_eam.eam_force(
+                    geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                    e_dtype=e_dtype)
+                A = r.shape[-1]
+                slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (geom.n_local, A), 1)
+                valid = slot < n_atoms[:geom.n_local, None]
+                _u, e_pot = force_eam.finalize_eam_energy(u_raw, valid, e_dtype)
+                return f_loc, e_pot
+        else:
+            lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
+                     else force_lj.lj_force)
+
+            def force(r, n_atoms):
+                f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
+                                         e_dtype=e_dtype)
+                return f_loc, e_pot
+        return force
+
+    def _shard_step(self):
+        cfg, geom, plan = self.cfg, self.geom, self.plan
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn()
+        n_local_boxes = geom.n_local
+
+        def step(state: SimState, _):
+            p = state.p + state.p.dtype.type(0.5 * dt) * state.f
+            r = state.r + p * p.dtype.type(dt * inv_mass)
+            r, p, gid, n_atoms, _nmig, ovf1 = binning.rebucket(
+                geom, r, p, state.gid, state.n_atoms, keep_halo=True)
+            r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
+                plan, geom, r, p, gid, n_atoms)
+            r, p, gid = binning.sort_cells(r, p, gid)
+            f_loc, e_pot = force(r, n_atoms)
+            f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
+                f_loc.astype(state.f.dtype))
+            p = p + p.dtype.type(0.5 * dt) * f
+            e_pot = jax.lax.psum(e_pot, ("x", "y", "z"))
+            n_local = jax.lax.psum(
+                jnp.sum(n_atoms[:n_local_boxes]), ("x", "y", "z"))
+            return SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                            e_potential=e_pot,
+                            n_local=n_local.astype(jnp.int32)), ()
+
+        return step
+
+    def _wrap(self, per_shard_fn, n_steps=None):
+        """shard_map a per-shard state->state function over the mesh."""
+        spec = self._spec
+
+        def shard_body(state: SimState) -> SimState:
+            # strip the [1,1,1] leading block dims of mesh-sharded leaves
+            # (scalars e_potential / n_local are replicated, left as-is)
+            inner = dataclasses.replace(
+                state,
+                r=state.r[0, 0, 0], p=state.p[0, 0, 0], f=state.f[0, 0, 0],
+                gid=state.gid[0, 0, 0], n_atoms=state.n_atoms[0, 0, 0])
+            if n_steps is None:
+                out = per_shard_fn(inner, None)[0]
+            else:
+                out, _ = jax.lax.scan(per_shard_fn, inner, None,
+                                      length=n_steps)
+            return dataclasses.replace(
+                out,
+                r=out.r[None, None, None], p=out.p[None, None, None],
+                f=out.f[None, None, None], gid=out.gid[None, None, None],
+                n_atoms=out.n_atoms[None, None, None])
+
+        state_specs = SimState(
+            r=spec, p=spec, f=spec, gid=spec, n_atoms=spec,
+            e_potential=P(), n_local=P())
+        return jax.jit(jax.shard_map(
+            shard_body, mesh=self.mesh, in_specs=(state_specs,),
+            out_specs=state_specs, check_vma=False))
+
+    # ---------------- public interface ----------------
+
+    def step_block(self, n_steps: int) -> None:
+        if n_steps not in self._step_block:
+            self._step_block[n_steps] = self._wrap(self._shard_step(),
+                                                   n_steps=n_steps)
+        self.state = self._step_block[n_steps](self.state)
+
+    def compute_force(self) -> None:
+        force = self._force_fn()
+        n_local_boxes = self.geom.n_local
+
+        def eval_force(state: SimState, _):
+            f_loc, e_pot = force(state.r, state.n_atoms)
+            f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
+                f_loc.astype(state.f.dtype))
+            e_pot = jax.lax.psum(e_pot, ("x", "y", "z"))
+            return dataclasses.replace(state, f=f, e_potential=e_pot), ()
+
+        self.state = self._wrap(eval_force)(self.state)
+
+    def kinetic_energy(self) -> float:
+        p = self.state.p[..., :self.geom.n_local, :]
+        e = 0.5 * jnp.sum(
+            jnp.asarray(p, self.cfg.jax_energy_dtype) ** 2) / self.mass
+        return float(e)
+
+    @property
+    def e_potential(self) -> float:
+        # replicated scalar stored per-shard identically
+        return float(jnp.reshape(self.state.e_potential, (-1,))[0]) \
+            if self.state.e_potential.ndim else float(self.state.e_potential)
+
+    def sum_atoms(self) -> int:
+        return int(jnp.sum(self.state.n_atoms[..., :self.geom.n_local]))
+
+    def temperature(self) -> float:
+        return self.kinetic_energy() / self.n_global / KB_EV / 1.5
+
+    def max_occupancy(self) -> int:
+        return int(jnp.max(self.state.n_atoms[..., :self.geom.n_local]))
+
+
+def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
+    """Sharded initSimulation: decompose, generate, distribute."""
+    cfg = cfg.resolve()
+    pot = init_potential(cfg)
+
+    lat = cfg.lat if cfg.lat > 0 else pot.lat
+    global_extent = np.array([cfg.nx, cfg.ny, cfg.nz], np.float64) * lat
+    pgrid = np.array([cfg.xproc, cfg.yproc, cfg.zproc])
+    local_extent = global_extent / pgrid
+
+    skin = (pot.cutoff * cfg.relative_skin_distance
+            if (cfg.use_nl or cfg.use_pairlist) else 0.0)
+    # per-shard geometry in the shard-local frame [0, local_extent)
+    geom = cells.make_geometry(np.zeros(3), local_extent, pot.cutoff + skin,
+                               use_hilbert=cfg.do_hilbert)
+    plan = exchange.make_plan(geom)
+    mesh = make_mesh(cfg.xproc, cfg.yproc, cfg.zproc, devices)
+
+    # host-side scene generation in the global frame (reference-exact)
+    r, gid = lattice.create_fcc_lattice(
+        cfg.nx, cfg.ny, cfg.nz, lat, np.zeros(3), global_extent)
+    n_global = 4 * cfg.nx * cfg.ny * cfg.nz
+    p = lattice.set_temperature(gid, pot.mass, cfg.temperature, n_global)
+    r = lattice.random_displacements(r, gid, cfg.initial_delta)
+
+    # partition atoms to shards; convert to shard-local frames
+    shard_idx = np.minimum(
+        (r / local_extent).astype(np.int64), pgrid - 1)
+    blocks = []
+    for ix in range(cfg.xproc):
+        for iy in range(cfg.yproc):
+            for iz in range(cfg.zproc):
+                sel = np.all(shard_idx == [ix, iy, iz], axis=1)
+                r_loc = r[sel] - np.array([ix, iy, iz]) * local_extent
+                blocks.append(bin_atoms_host(
+                    geom, cfg, r_loc, p[sel], gid[sel]))
+
+    def stack(field):
+        vals = [getattr(b, field) for b in blocks]
+        arr = jnp.stack(vals).reshape(
+            (cfg.xproc, cfg.yproc, cfg.zproc) + vals[0].shape)
+        return arr
+
+    spec = P("x", "y", "z")
+    state = SimState(
+        r=jax.device_put(stack("r"), NamedSharding(mesh, spec)),
+        p=jax.device_put(stack("p"), NamedSharding(mesh, spec)),
+        f=jax.device_put(stack("f"), NamedSharding(mesh, spec)),
+        gid=jax.device_put(stack("gid"), NamedSharding(mesh, spec)),
+        n_atoms=jax.device_put(stack("n_atoms"), NamedSharding(mesh, spec)),
+        e_potential=jnp.zeros((), cfg.jax_energy_dtype),
+        n_local=jnp.asarray(n_global, jnp.int32),
+    )
+
+    sim = ShardedSimulation(
+        cfg=cfg, pot=pot, geom=geom, plan=plan, mesh=mesh,
+        global_extent=global_extent, n_global=n_global, state=state,
+        lattice_const=lat)
+
+    # initial ghost fill: run the exchange once (atoms are freshly binned)
+    sim.state = sim._wrap(_initial_exchange_fn(sim))(sim.state)
+    sim.compute_force()
+    return sim
+
+
+def _initial_exchange_fn(sim: ShardedSimulation):
+    geom, plan = sim.geom, sim.plan
+
+    def fn(state: SimState, _):
+        r, p, gid, n_atoms, ovf = exchange.exchange_atoms(
+            plan, geom, state.r, state.p, state.gid, state.n_atoms)
+        r, p, gid = binning.sort_cells(r, p, gid)
+        return dataclasses.replace(state, r=r, p=p, gid=gid,
+                                   n_atoms=n_atoms), ()
+
+    return fn

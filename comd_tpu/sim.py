@@ -183,9 +183,15 @@ def init_potential(cfg: Config):
     return init_lj_pot()
 
 
-def init_simulation(cfg: Config) -> Simulation:
-    """Build the initial state (initSimulation, CoMD.c:200-327)."""
+def init_simulation(cfg: Config):
+    """Build the initial state (initSimulation, CoMD.c:200-327).
+
+    With -i/-j/-k > 1 this dispatches to the mesh-sharded implementation
+    (spatial domain decomposition over devices, the reference's MPI grid)."""
     cfg = cfg.resolve()
+    if cfg.nprocs > 1:
+        from .parallel.sharded import init_sharded_simulation
+        return init_sharded_simulation(cfg)
     pot = init_potential(cfg)
 
     lat = cfg.lat if cfg.lat > 0 else pot.lat
