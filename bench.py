@@ -38,19 +38,22 @@ def main():
     sim = init_simulation(cfg)
     init_s = time.time() - t0
 
-    # warmup + compile
+    # warmup + compile the exact block we measure (a different scan length
+    # would be a second compilation)
     t0 = time.time()
-    sim.step_block(2)
+    sim.step_block(steps)
     sim.state.e_potential.block_until_ready()
     compile_s = time.time() - t0
 
+    reps = int(os.environ.get("BENCH_REPS", 3))
     t0 = time.time()
-    sim.step_block(steps)
+    for _ in range(reps):
+        sim.step_block(steps)
     sim.state.e_potential.block_until_ready()
     wall = time.time() - t0
 
     n = sim.n_global
-    rate = n * steps / wall  # atom-steps/sec/chip
+    rate = n * steps * reps / wall  # atom-steps/sec/chip
     baseline = 1.0e8         # north-star atom-steps/sec/chip
     print(json.dumps({
         "metric": f"atom-steps/sec/chip, {n}-atom EAM Cu (funcfl), "

@@ -105,7 +105,7 @@ def print_things(sim, i_step: int, elapsed: float, n_eval: int, out=sys.stdout):
           file=out, flush=True)
 
 
-def run(cfg: Config, out=sys.stdout) -> dict:
+def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None) -> dict:
     """Full reference-style run. Returns a result summary dict."""
     from . import sim as sim_mod
     from .utils.timers import PerfTimers
@@ -164,15 +164,68 @@ def run(cfg: Config, out=sys.stdout) -> dict:
         "n_global": sim.n_global,
     }
 
-    if getattr(cfg, "yaml_dir", None):
-        pass  # YAML handled by caller via utils.yaml_output
+    if yaml_dir is not None:
+        _write_yaml(yaml_dir, cfg, sim, result, timers, out)
     return result
+
+
+def _write_yaml(yaml_dir, cfg: Config, sim, result, timers, out):
+    """YAML run report (yamlOutput.c, CoMD.c:498-552)."""
+    from . import __version__
+    from .utils.yaml_output import YamlReport
+
+    rep = YamlReport(out_dir=yaml_dir).open()
+    rep.header(__version__)
+    rep.section("Command Line Parameters")
+    for k, v in vars(cfg).items():
+        rep.kv(k, v)
+    rep.section("Simulation data")
+    rep.kv("Total atoms", sim.n_global)
+    rep.kv("Min global bounds", [0.0, 0.0, 0.0])
+    rep.kv("Max global bounds", list(sim.global_extent))
+    rep.section("Decomposition data")
+    rep.kv("Processors", [cfg.xproc, cfg.yproc, cfg.zproc])
+    rep.kv("Local boxes", list(sim.geom.grid))
+    rep.kv("Box size", list(sim.geom.box_size))
+    rep.kv("Box factor", list(sim.geom.box_size / sim.pot.cutoff))
+    rep.kv("Max Link Cell Occupancy",
+           f"{sim.max_occupancy()} of {cfg.max_atoms}")
+    rep.section("Potential data")
+    for k, v in sim.pot.describe():
+        rep.kv(k, v)
+    rep.section("Validation")
+    rep.kv("Initial energy", f"{result['e_initial']:.12f}")
+    rep.kv("Final energy", f"{result['e_final']:.12f}")
+    rep.kv("Atoms lost", result["atoms_lost"])
+    rep.section("Performance")
+    rep.kv("Atom rate (atoms/us)",
+           f"{result['atom_rate_atoms_per_us']:.4f}")
+    rep.close()
+    print(f"YAML report written to {rep.path}", file=out)
+
+
+def analyze_input(sim, out=sys.stdout):
+    """Occupancy histogram of link cells (AnalyzeInput,
+    src-mpi/gpu_utility.c:785-862)."""
+    import numpy as np
+    counts = np.asarray(sim.state.n_atoms)[..., :sim.geom.n_local].ravel()
+    hist = np.bincount(counts, minlength=sim.cfg.max_atoms + 1)
+    print("# cell-occupancy histogram (atoms-per-cell, num-cells)", file=out)
+    for occ, n in enumerate(hist):
+        if n:
+            print(f"{occ:4d} {n:8d}", file=out)
+    print(f"# mean {counts.mean():.2f}  max {counts.max()}  "
+          f"capacity {sim.cfg.max_atoms}", file=out)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    run(cfg)
+    try:
+        run(cfg, yaml_dir=args.yaml)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"comd-tpu: {e}. Fatal Error.", file=sys.stderr)
+        return 1
     return 0
 
 

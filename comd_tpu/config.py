@@ -70,6 +70,11 @@ class Config:
     dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
     energy_dtype: str = "float64"
     box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
+    nl_max_neighbors: int = 0   # 0 = auto-size from density; reference fixed
+                                # MAXNEIGHBORLISTSIZE=64 (defines.h:66) only
+                                # fits the EAM cutoff, not LJ 2.5*sigma
+    nl_rows_factor: float = 1.0  # NL row capacity as fraction of n_local*A
+    nl_chunk: int = 2048        # NL rows per sweep chunk
 
     def resolve(self) -> "Config":
         cfg = dataclasses.replace(self)

@@ -31,24 +31,10 @@ def _interp(table_dev, tab, rr):
     return tables.interpolate(table_dev, tab.n, tab.x0, tab.inv_dx, rr)
 
 
-def eam_force(
-    geom: CellGeometry,
-    pot: EamPotential,
-    r,                       # [3, B, A] with halo cells filled
-    fill_halo_scalar: Callable,  # ([B, A] field) -> field with halo filled
-    *,
-    spline: bool = False,
-    chunk: int = 256,
-    e_dtype=jnp.float64,
-):
-    """Returns (force [3, n_local, A], U [n_local, A], ePot, dfEmbed [B, A])."""
-    dtype = r.dtype
-    B, A = r.shape[1], r.shape[2]
-    rcut2 = pot.cutoff * pot.cutoff
-
+def make_evaluators(pot: EamPotential, dtype, spline: bool):
+    """(eval_phi, eval_rho) shared by the cell-sweep and NL paths."""
     phi_dev = pot.phi.values_device(dtype)
     rho_dev = pot.rho.values_device(dtype)
-    f_dev = pot.f.values_device(dtype)
 
     if spline:
         # n and values exactly as the reference call site
@@ -78,7 +64,11 @@ def eam_force(
         def eval_rho(r2, rr):
             return _interp(rho_dev, pot.rho, rr)
 
-    # ---- pass 1: pair energy, density accumulation, pair force ----
+    return eval_phi, eval_rho
+
+
+def make_pair1(eval_phi, eval_rho):
+    """Pass-1 per-pair physics: phi energy, rho accumulation, pair force."""
     def pair1(r2, mask, sj, si):
         rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
         phi, dphi = eval_phi(r2, rr)
@@ -88,6 +78,39 @@ def eam_force(
         fcoef = jnp.where(mask, -dphi / rr, 0.0)  # f_i -= dPhi * dr/r
         return fcoef, [phi, rho]
 
+    return pair1
+
+
+def make_pair3(eval_rho):
+    """Pass-3 per-pair physics: embedding force term."""
+    def pair3(r2, mask, sj, si):
+        rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        _, drho = eval_rho(r2, rr)
+        fcoef = jnp.where(mask, -(si[0] + sj[0]) * drho / rr, 0.0)
+        return fcoef, []
+
+    return pair3
+
+
+def eam_force(
+    geom: CellGeometry,
+    pot: EamPotential,
+    r,                       # [3, B, A] with halo cells filled
+    fill_halo_scalar: Callable,  # ([B, A] field) -> field with halo filled
+    *,
+    spline: bool = False,
+    chunk: int = 256,
+    e_dtype=jnp.float64,
+):
+    """Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A])."""
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    f_dev = pot.f.values_device(dtype)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+
+    # ---- pass 1: pair energy, density accumulation, pair force ----
+    pair1 = make_pair1(eval_phi, eval_rho)
     f1, (phi_sum, rhobar_l) = cell_pair_sweep(geom, r, pair1, rcut2, chunk=chunk)
 
     # ---- pass 2: embedding term (eam.c:351-366) ----
@@ -108,17 +131,54 @@ def eam_force(
     df_embed = fill_halo_scalar(df_embed)
 
     # ---- pass 3: embedding force (eam.c:374-413) ----
-    def pair3(r2, mask, sj, si):
-        rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
-        _, drho = eval_rho(r2, rr)
-        dfe_j = sj[0]
-        dfe_i = si[0]
-        fcoef = jnp.where(mask, -(dfe_i + dfe_j) * drho / rr, 0.0)
-        return fcoef, []
-
+    pair3 = make_pair3(eval_rho)
     f3, _ = cell_pair_sweep(geom, r, pair3, rcut2, chunk=chunk,
                             scalar_j=[df_embed])
     return f1 + f3, u, df_embed
+
+
+def eam_force_nl(
+    nlist,
+    pot: EamPotential,
+    r,                       # [3, B, A] with halo cells filled
+    fill_halo_scalar: Callable,
+    *,
+    spline: bool = False,
+    chunk: int = 2048,
+    e_dtype=jnp.float64,
+):
+    """EAM via Verlet neighbor list (thread_atom_nl / warp_atom_nl analog).
+
+    Returns (force [3, B, A], ePot, dfEmbed [B, A]).  Reference NL path:
+    eamForceCpuNL (eam.c:266-419), GPU *_nl kernels
+    (gpu_eam_thread_atom.h:144-266).
+    """
+    from . import neighborlist as nlmod
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    f_dev = pot.f.values_device(dtype)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+
+    f1, (phi_rows, rho_rows) = nlmod.pair_sweep_nl(
+        nlist, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
+
+    # pass 2: embedding per row
+    f_emb, df_rows = _interp(f_dev, pot.f, rho_rows)
+    u_rows = 0.5 * phi_rows.astype(e_dtype) + f_emb.astype(e_dtype)
+    u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
+    e_pot = jnp.sum(u_rows)
+
+    df_embed = nlmod.scatter_rows(
+        nlist, jnp.where(nlist.a_valid, df_rows, 0.0).astype(dtype), B, A)
+    df_embed = fill_halo_scalar(df_embed)
+
+    f3, _ = nlmod.pair_sweep_nl(
+        nlist, r, make_pair3(eval_rho), rcut2, chunk=chunk,
+        scalar_j=[df_embed])
+
+    force = nlmod.scatter_rows(nlist, f1 + f3, B, A)
+    return force, e_pot, df_embed
 
 
 def finalize_eam_energy(u, valid_mask, e_dtype=jnp.float64):

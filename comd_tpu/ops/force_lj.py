@@ -22,14 +22,11 @@ from ..potentials import tables
 from .sweep import cell_pair_sweep
 
 
-def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
-             e_dtype=jnp.float64):
-    """Compute (force [3, n_local, A], U [n_local, A], ePot scalar)."""
-    dtype = r.dtype
+def make_lj_pair_fn(pot: LjPotential, dtype):
+    """Per-pair LJ physics shared by the cell-sweep and NL paths."""
     s6 = dtype.type(pot.s6)
     eps = dtype.type(pot.epsilon)
     e_shift = dtype.type(pot.e_shift)
-    rcut2 = pot.cutoff * pot.cutoff
 
     def pair_fn(r2, mask, sj, si):
         inv_r2 = jnp.where(mask, 1.0 / jnp.where(mask, r2, 1.0), 0.0)
@@ -41,12 +38,20 @@ def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
         fcoef = jnp.where(mask, fcoef, 0.0)
         return fcoef, [e]
 
+    return pair_fn
+
+
+def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
+             e_dtype=jnp.float64):
+    """Compute (force [3, n_local, A], U [n_local, A], ePot scalar)."""
+    rcut2 = pot.cutoff * pot.cutoff
+    pair_fn = make_lj_pair_fn(pot, r.dtype)
     force, (u,) = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk)
     # each pair counted twice in the full sweep -> x0.5, then the global
     # 4*epsilon scaling (ljForce.c:256-261)
     u = (0.5 * 4.0 * pot.epsilon) * u.astype(e_dtype)
     e_pot = jnp.sum(u)
-    return force, u.astype(dtype), e_pot
+    return force, u.astype(r.dtype), e_pot
 
 
 def lj_force_interp(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
@@ -79,3 +84,24 @@ def lj_force_interp(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
     u = 0.5 * u.astype(e_dtype)  # table already carries the 4*eps factor
     e_pot = jnp.sum(u)
     return force, u.astype(dtype), e_pot
+
+
+def lj_force_nl(nlist, pot: LjPotential, r, *, chunk=2048,
+                e_dtype=jnp.float64):
+    """LJ via Verlet neighbor list (thread_atom_nl / -L pairlist analog).
+
+    Returns (force [3, B, A], U [B, A], ePot).  Reference NL force:
+    ljForceCpuNL (ljForce.c:146-265) / the *_nl GPU kernels.
+    """
+    from . import neighborlist as nlmod
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    pair_fn = make_lj_pair_fn(pot, r.dtype)
+    f_rows, (u_rows,) = nlmod.pair_sweep_nl(
+        nlist, r, pair_fn, rcut2, chunk=chunk)
+    u_rows = (0.5 * 4.0 * pot.epsilon) * u_rows.astype(e_dtype)
+    u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
+    e_pot = jnp.sum(u_rows)
+    force = nlmod.scatter_rows(nlist, f_rows, B, A)
+    u = nlmod.scatter_rows(nlist, u_rows.astype(r.dtype), B, A)
+    return force, u, e_pot

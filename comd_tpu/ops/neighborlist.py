@@ -1,0 +1,165 @@
+"""Verlet neighbor lists with skin-displacement rebuild triggering.
+
+Reference: CPU half-lists (src-mpi/neighborList.c:50-247), GPU full lists of
+MAXNEIGHBORLISTSIZE=64 entries (gpu_neighborList.c, defines.h:66), built by
+ballot/popc compaction kernels (gpu_kernels.cu:1494-2029); rebuild when any
+atom moved more than skin/2 since the last build, agreed globally
+(neighborList.c:212-247, gpu_kernels.cu:1448-1484).
+
+TPU design: rows are *compacted local atoms* (a_list), entries are flat slot
+ids into the dense [B, A] layout (self-id padding, so padded entries yield
+r2 == 0 and mask out -- replacing the reference's sentinel atom at infinity,
+initAtoms.c:30).  Between rebuilds the cell layout is frozen (no rebucket),
+exactly like the reference's NL path (redistributeAtomsGpuNL,
+timestep.c:376-400): ghosts are refreshed by slot-aligned position copies,
+and the expensive canonicalization runs only when the skin triggers.
+Compaction uses top_k over the candidate mask (first-K-valid, deterministic).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cells import CellGeometry
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NeighborList:
+    a_list: jax.Array    # [nRows] flat slot ids of local atoms (compact)
+    a_valid: jax.Array   # [nRows] bool
+    nl: jax.Array        # [nRows, K] flat slot ids (self-id padded)
+    last_r: jax.Array    # [3, B, A] position snapshot at build time
+    n_rows: jax.Array    # int32: number of real rows
+
+
+def n_rows_for(geom: CellGeometry, max_atoms: int, factor: float = 1.0) -> int:
+    """Static row capacity.  Default: every local slot (safe upper bound);
+    pass factor<1 to size by expected occupancy."""
+    n = int(geom.n_local * max_atoms * factor)
+    return max(128, -(-n // 128) * 128)  # pad to lane multiple
+
+
+def build_atom_list(geom: CellGeometry, n_atoms, A: int, n_rows: int):
+    """Compact flat slot ids of all local atoms (BuildAtomLists analog,
+    gpu_kernels.cu:409-454)."""
+    slot = jax.lax.broadcasted_iota(jnp.int32, (geom.n_local, A), 1)
+    valid = slot < n_atoms[:geom.n_local, None]
+    flat_valid = valid.reshape(-1)
+    idx = jnp.nonzero(flat_valid, size=n_rows, fill_value=0)[0].astype(jnp.int32)
+    n_real = jnp.sum(flat_valid.astype(jnp.int32))
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).reshape(n_rows)
+    return idx, ar < n_real, n_real
+
+
+def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
+          n_rows: int, chunk: int = 2048) -> tuple:
+    """Build the neighbor list.  Returns (NeighborList, overflow)."""
+    B, A = r.shape[1], r.shape[2]
+    r_flat = r.reshape(3, B * A)
+    a_list, a_valid, n_real = build_atom_list(geom, n_atoms, A, n_rows)
+
+    nbr_map = jnp.asarray(geom.nbr_map)  # [n_local, 27]
+    dtype = r.dtype
+
+    n_chunks = n_rows // chunk if n_rows % chunk == 0 else -(-n_rows // chunk)
+    pad_rows = n_chunks * chunk
+    rows = jnp.pad(a_list, (0, pad_rows - n_rows)).reshape(n_chunks, chunk)
+
+    def body(rows_c):
+        ri = r_flat[:, rows_c]                       # [3, C]
+        box = rows_c // A                            # [C] local box id
+        cand_boxes = nbr_map[jnp.clip(box, 0, geom.n_local - 1)]  # [C, 27]
+        cand = (cand_boxes[:, :, None] * A +
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+                ).reshape(-1, 27 * A)                # [C, 27A] flat slot ids
+        rj = r_flat[:, cand]                         # [3, C, 27A]
+        dr = ri[:, :, None] - rj
+        r2 = dr[0] ** 2 + dr[1] ** 2 + dr[2] ** 2
+        mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+        count = jnp.sum(mask, axis=-1)
+        vals, kidx = jax.lax.top_k(mask.astype(jnp.int32), k)   # first K valid
+        sel = jnp.take_along_axis(cand, kidx, axis=1)           # [C, K]
+        sel = jnp.where(vals > 0, sel, rows_c[:, None])         # self-pad
+        return sel, count
+
+    sel, count = jax.lax.map(body, rows)
+    nl = sel.reshape(pad_rows, k)[:n_rows]
+    count = count.reshape(pad_rows)[:n_rows]
+    overflow = jnp.any((count > k) & a_valid)
+
+    return NeighborList(a_list=a_list, a_valid=a_valid, nl=nl,
+                        last_r=r, n_rows=n_real), overflow
+
+
+def needs_rebuild(nlist: NeighborList, r, n_local: int, skin: float):
+    """Any local atom displaced more than skin/2 since the build
+    (neighborList.c:212-247).  Caller psums across shards for the global
+    consensus (maxIntParallel analog)."""
+    d = r[:, :n_local] - nlist.last_r[:, :n_local]
+    disp2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
+    return jnp.max(disp2) > (0.5 * skin) ** 2
+
+
+def pair_sweep_nl(nlist: NeighborList, r, pair_fn, rcut2, *,
+                  scalar_j=(), chunk: int = 2048, want_force: bool = True):
+    """Neighbor-list pair sweep mirroring sweep.cell_pair_sweep's contract.
+
+    pair_fn(r2, mask, sj, si) -> (fcoef|None, scalars); returns per-ROW
+    outputs (force [3, nRows], scalars [nRows]); caller scatters to slots
+    via nlist.a_list.
+    """
+    B, A = r.shape[1], r.shape[2]
+    r_flat = r.reshape(3, B * A)
+    dtype = r.dtype
+    n_rows = nlist.a_list.shape[0]
+    k = nlist.nl.shape[1]
+
+    n_chunks = -(-n_rows // chunk)
+    pad = n_chunks * chunk - n_rows
+    rows = jnp.pad(nlist.a_list, (0, pad)).reshape(n_chunks, chunk)
+    nls = jnp.pad(nlist.nl, ((0, pad), (0, 0))).reshape(n_chunks, chunk, k)
+
+    sj_flat = [s.reshape(-1) for s in scalar_j]
+
+    def body(args):
+        rows_c, nl_c = args
+        ri = r_flat[:, rows_c]                       # [3, C]
+        rj = r_flat[:, nl_c]                         # [3, C, K]
+        dr = ri[:, :, None] - rj
+        r2 = dr[0] ** 2 + dr[1] ** 2 + dr[2] ** 2
+        mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+        sj = [s[nl_c] for s in sj_flat]              # [C, K]
+        si = [s[rows_c][:, None] for s in sj_flat]   # [C, 1]
+        fcoef, scalars = pair_fn(r2, mask, sj, si)
+        outs = []
+        if want_force:
+            outs.append(jnp.stack(
+                [jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)]))
+        outs.extend(jnp.sum(s, axis=-1) for s in scalars)
+        return tuple(outs)
+
+    results = jax.lax.map(body, (rows, nls))
+    out = []
+    i = 0
+    if want_force:
+        f = jnp.moveaxis(results[0], 1, 0).reshape(3, n_chunks * chunk)
+        out.append(f[:, :n_rows])
+        i = 1
+    for res in results[i:]:
+        out.append(res.reshape(-1)[:n_rows])
+    force = out[0] if want_force else None
+    return force, (out[1:] if want_force else out)
+
+
+def scatter_rows(nlist: NeighborList, vals, B: int, A: int, fill=0.0):
+    """Scatter per-row values back to the dense [B, A] layout."""
+    dest = jnp.where(nlist.a_valid, nlist.a_list, jnp.int32(B * A))
+    if vals.ndim == 1:
+        out = jnp.full((B * A,), fill, dtype=vals.dtype)
+        return out.at[dest].set(vals, mode="drop").reshape(B, A)
+    out = jnp.full((vals.shape[0], B * A), fill, dtype=vals.dtype)
+    return out.at[:, dest].set(vals, mode="drop").reshape(vals.shape[0], B, A)

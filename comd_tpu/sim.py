@@ -28,6 +28,7 @@ from . import cells, lattice
 from .config import Config
 from .constants import KB_EV
 from .ops import binning, force_lj, force_eam
+from .ops import neighborlist as nlmod
 from .potentials.eam import EamPotential, init_eam_pot
 from .potentials.lj import LjPotential, init_lj_pot
 
@@ -45,6 +46,14 @@ class SimState:
     n_local: jax.Array    # int32 scalar: current locally-owned atom count
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NLSimState:
+    """SimState + Verlet neighbor list (the *_nl method carry)."""
+    sim: SimState
+    nlist: nlmod.NeighborList
+
+
 @dataclasses.dataclass
 class Simulation:
     """Host-side handle: static params + device state + compiled step."""
@@ -58,10 +67,21 @@ class Simulation:
 
     def __post_init__(self):
         self._step_block = {}
+        self.nlist = None
 
     @property
     def mass(self) -> float:
         return self.pot.mass
+
+    @property
+    def uses_nl(self) -> bool:
+        """*_nl methods and the LJ pairlist (-L) run on Verlet lists."""
+        return self.cfg.use_nl or self.cfg.use_pairlist
+
+    @property
+    def skin(self) -> float:
+        return (self.pot.cutoff * self.cfg.relative_skin_distance
+                if self.uses_nl else 0.0)
 
     # ---------------- force + energy ----------------
 
@@ -130,21 +150,139 @@ class Simulation:
 
         return step
 
+    # ---------------- neighbor-list (_nl) machinery ----------------
+
+    def _force_fn_nl(self):
+        cfg, pot = self.cfg, self.pot
+        e_dtype = cfg.jax_energy_dtype
+        chunk = cfg.nl_chunk
+        geom = self.geom
+
+        if isinstance(pot, EamPotential):
+            def force(nlist, r, n_atoms):
+                fill = functools.partial(binning.fill_halo_scalar_serial, geom)
+                f_full, e_pot, _dfe = force_eam.eam_force_nl(
+                    nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                    e_dtype=e_dtype)
+                return f_full, e_pot
+        else:
+            def force(nlist, r, n_atoms):
+                f_full, _u, e_pot = force_lj.lj_force_nl(
+                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype)
+                return f_full, e_pot
+        return force
+
+    def _nl_build_params(self):
+        cfg = self.cfg
+        rcut_nl = self.pot.cutoff + self.skin
+        n_rows = nlmod.n_rows_for(self.geom, cfg.max_atoms,
+                                  cfg.nl_rows_factor)
+        if cfg.nl_max_neighbors > 0:
+            k = cfg.nl_max_neighbors
+        else:
+            # auto-size: 1.4x the mean neighbor count in the rcut+skin
+            # sphere, rounded up to a lane multiple
+            density = self.n_global / float(np.prod(self.global_extent))
+            mean_nbrs = density * 4.0 / 3.0 * np.pi * rcut_nl ** 3
+            k = int(-(-1.4 * mean_nbrs // 32) * 32)
+        return dict(k=k, rcut2=rcut_nl ** 2, n_rows=n_rows,
+                    chunk=cfg.nl_chunk)
+
+    def build_neighbor_list(self) -> None:
+        params = self._nl_build_params()
+
+        @jax.jit
+        def build(state: SimState):
+            nl, ovf = nlmod.build(self.geom, state.r, state.n_atoms, **params)
+            return nl
+
+        self.nlist = build(self.state)
+
+    def _make_step_nl(self):
+        cfg, geom = self.cfg, self.geom
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn_nl()
+        ext = self.global_extent
+        skin = self.skin
+        params = self._nl_build_params()
+        n_local_boxes = geom.n_local
+
+        def rebuild(args):
+            r, p, gid, n_atoms, _nl = args
+            r_l, p_l, gid2, n2, _nm, _ovf = binning.rebucket(
+                geom, r, p, gid, n_atoms, wrap_extent=ext)
+            r2, gid2, n2 = binning.fill_halo_serial(geom, r_l, gid2, n2)
+            nl, _ovf2 = nlmod.build(geom, r2, n2, **params)
+            return r2, p_l, gid2, n2, nl
+
+        def refresh(args):
+            r, p, gid, n_atoms, nl = args
+            src = jnp.asarray(geom.halo_src)
+            shift = jnp.asarray(geom.halo_shift, dtype=r.dtype)
+            r = r.at[:, n_local_boxes:].set(r[:, src] + shift.T[:, :, None])
+            return r, p, gid, n_atoms, nl
+
+        def step(c: NLSimState, _):
+            s, nl = c.sim, c.nlist
+            p = s.p + s.p.dtype.type(0.5 * dt) * s.f
+            r = s.r + p * p.dtype.type(dt * inv_mass)
+            dirty = nlmod.needs_rebuild(nl, r, n_local_boxes, skin)
+            r, p, gid, n_atoms, nl = jax.lax.cond(
+                dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
+            f, e_pot = force(nl, r, n_atoms)
+            f = f.astype(s.f.dtype)
+            p = p + p.dtype.type(0.5 * dt) * f
+            n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
+            return NLSimState(
+                sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                             e_potential=e_pot, n_local=n_local),
+                nlist=nl), ()
+
+        return step
+
+    # ---------------- stepping ----------------
+
     def step_block(self, n_steps: int) -> None:
         """Run n_steps of velocity-Verlet as one jitted lax.scan."""
         if n_steps not in self._step_block:
-            step = self._make_step()
+            if self.uses_nl:
+                step = self._make_step_nl()
 
-            @jax.jit
-            def block(state):
-                state, _ = jax.lax.scan(step, state, None, length=n_steps)
-                return state
+                @jax.jit
+                def block(carry):
+                    carry, _ = jax.lax.scan(step, carry, None,
+                                            length=n_steps)
+                    return carry
+            else:
+                step = self._make_step()
+
+                @jax.jit
+                def block(state):
+                    state, _ = jax.lax.scan(step, state, None, length=n_steps)
+                    return state
 
             self._step_block[n_steps] = block
-        self.state = self._step_block[n_steps](self.state)
+        if self.uses_nl:
+            out = self._step_block[n_steps](
+                NLSimState(sim=self.state, nlist=self.nlist))
+            self.state, self.nlist = out.sim, out.nlist
+        else:
+            self.state = self._step_block[n_steps](self.state)
 
     def compute_force(self) -> None:
         """Force-only evaluation (used at init; CoMD.c:314)."""
+        if self.uses_nl:
+            force_nl = self._force_fn_nl()
+
+            @jax.jit
+            def eval_force_nl(state: SimState, nlist):
+                f, e_pot = force_nl(nlist, state.r, state.n_atoms)
+                return dataclasses.replace(
+                    state, f=f.astype(state.f.dtype), e_potential=e_pot)
+
+            self.state = eval_force_nl(self.state, self.nlist)
+            return
         force = self._force_fn()
 
         @jax.jit
@@ -216,8 +354,10 @@ def init_simulation(cfg: Config):
                      global_extent=global_extent, n_global=n_global,
                      state=state, lattice_const=lat)
 
-    # fill halo + first force (CoMD.c:303-318)
+    # fill halo + (NL build) + first force (CoMD.c:303-318)
     sim.state = _initial_halo(sim)
+    if sim.uses_nl:
+        sim.build_neighbor_list()
     sim.compute_force()
     return sim
 
