@@ -10,6 +10,7 @@ import numpy as np
 
 from .constants import KB_EV
 from . import rng
+from .utils import native
 
 
 def create_fcc_lattice(nx: int, ny: int, nz: int, lat: float,
@@ -21,6 +22,9 @@ def create_fcc_lattice(nx: int, ny: int, nz: int, lat: float,
     """
     local_min = np.asarray(local_min, dtype=np.float64)
     local_max = np.asarray(local_max, dtype=np.float64)
+    out = native.fcc_lattice(nx, ny, nz, lat, local_min, local_max)
+    if out is not None:
+        return out  # C loop order is already gid-ascending
     basis = np.array([[0.25, 0.25, 0.25],
                       [0.25, 0.75, 0.75],
                       [0.75, 0.25, 0.75],
@@ -52,8 +56,10 @@ def set_temperature(gid: np.ndarray, mass: float, temperature: float,
     (setTemperature, initAtoms.c:162-198).  Returns p [n,3] f64."""
     n = gid.shape[0]
     sigma = np.sqrt(KB_EV * temperature / mass)
-    g = rng.gasdev_n(gid, 123, 3)          # [3, n] in (px, py, pz) call order
-    p = (mass * sigma) * g.T               # [n, 3]
+    g = native.gasdev3(gid, 123)           # [n, 3] in (px, py, pz) call order
+    if g is None:
+        g = rng.gasdev_n(gid, 123, 3).T
+    p = (mass * sigma) * g                 # [n, 3]
 
     if temperature == 0.0:
         return p
@@ -76,5 +82,7 @@ def random_displacements(r: np.ndarray, gid: np.ndarray, delta: float):
     (randomDisplacements, initAtoms.c:204-216)."""
     if delta == 0.0:
         return r
-    u = rng.uniform_n(gid, 457, 3)         # [3, n]
-    return r + (2.0 * u.T - 1.0) * delta
+    u = native.uniform3(gid, 457)          # [n, 3]
+    if u is None:
+        u = rng.uniform_n(gid, 457, 3).T
+    return r + (2.0 * u - 1.0) * delta

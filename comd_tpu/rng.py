@@ -8,7 +8,11 @@ the reference to near machine precision regardless of device count or atom
 ordering: every atom's initial momentum depends only on its gid.
 
 All functions here are vectorized numpy (host side, init only).  The hot path
-never touches them.
+never touches them.  The native C++ implementation (native/comd_init.cpp,
+used preferentially at scale) is canonical: it evaluates log/sqrt through
+glibc exactly as the reference binary did; numpy's SIMD log differs from
+glibc by 1 ulp for ~0.1% of inputs, so this fallback is 1-ulp-close rather
+than bit-identical to it.
 """
 from __future__ import annotations
 
