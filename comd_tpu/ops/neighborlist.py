@@ -33,7 +33,6 @@ class NeighborList:
     a_valid: jax.Array   # [nRows] bool
     nl: jax.Array        # [nRows, K] flat slot ids (self-id padded)
     last_r: jax.Array    # [3, B, A] position snapshot at build time
-    n_rows: jax.Array    # int32: number of real rows
 
 
 def n_rows_for(geom: CellGeometry, max_atoms: int, factor: float = 1.0) -> int:
@@ -92,7 +91,7 @@ def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
     overflow = jnp.any((count > k) & a_valid)
 
     return NeighborList(a_list=a_list, a_valid=a_valid, nl=nl,
-                        last_r=r, n_rows=n_real), overflow
+                        last_r=r), overflow
 
 
 def needs_rebuild(nlist: NeighborList, r, n_local: int, skin: float):

@@ -23,6 +23,111 @@ import numpy as np
 from ..cells import CellGeometry
 
 
+def dense_maps(geom: CellGeometry):
+    """Static maps between the reference cell numbering and a dense 3D
+    numbering (x-fastest over the halo-extended grid), used by the
+    shifted-slice sweep.
+
+    Returns (dense_of_box [n_total], box_of_dense [D], flat_offsets [27],
+    pad) where D = (gx+2)(gy+2)(gz+2), dense id = (ix+1) + X*(iy+1) +
+    X*Y*(iz+1), and pad is the slice padding that keeps all 27 shifted
+    views in range.
+    """
+    gx, gy, gz = geom.grid
+    X, Y, Z = gx + 2, gy + 2, gz + 2
+    t = geom.tuple_of_box  # [n_total, 3] in [-1 .. g]
+    dense_of_box = ((t[:, 0] + 1) + X * (t[:, 1] + 1) +
+                    X * Y * (t[:, 2] + 1)).astype(np.int32)
+    box_of_dense = np.zeros((X * Y * Z,), np.int32)
+    box_of_dense[dense_of_box] = np.arange(geom.n_total, dtype=np.int32)
+    offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                indexing="ij"), axis=-1).reshape(27, 3)
+    flat_offsets = offs[:, 0] + X * offs[:, 1] + X * Y * offs[:, 2]
+    pad = int(X * Y + X + 1)
+    return dense_of_box, box_of_dense, flat_offsets.astype(int), pad
+
+
+def cell_pair_sweep_dense(
+    geom: CellGeometry,
+    r: jnp.ndarray,                    # [3, B, A]
+    pair_fn: Callable,
+    rcut2: float,
+    *,
+    scalar_j: Sequence[jnp.ndarray] = (),
+    chunk: int = 256,
+    want_force: bool = True,
+):
+    """Gather-free variant of cell_pair_sweep: cells are laid out densely in
+    3D so each of the 27 neighbor views is a *static shifted slice* of the
+    flat cell axis -- the TPU-idiomatic stencil formulation (no dynamic
+    gathers, which XLA lowers poorly at scale).  Compute runs over all dense
+    cells (halo rows included, ~(X·Y·Z)/(gx·gy·gz) overhead) and results are
+    permuted back to the reference numbering.
+    """
+    A = r.shape[-1]
+    dtype = r.dtype
+    d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
+    D = len(b_of_d)
+
+    n_chunks = -(-D // chunk)
+    Dp = n_chunks * chunk
+    rpad = pad + (Dp - D)  # right padding also absorbs the chunk round-up
+
+    # one row-permutation into dense order + sentinel padding
+    rd = jnp.take(r, jnp.asarray(b_of_d), axis=1)          # [3, D, A]
+    sent_l = jnp.full((3, pad, A), dtype.type(1.0e10), dtype=dtype)
+    sent_r = jnp.full((3, rpad, A), dtype.type(1.0e10), dtype=dtype)
+    rp = jnp.concatenate([sent_l, rd, sent_r], axis=1)
+    sp = []
+    for s in scalar_j:
+        sd = jnp.take(s, jnp.asarray(b_of_d), axis=0)
+        sp.append(jnp.concatenate(
+            [jnp.zeros((pad, A), s.dtype), sd,
+             jnp.zeros((rpad, A), s.dtype)], axis=0))
+
+    def body(c0):
+        ri = jax.lax.dynamic_slice_in_dim(rp, pad + c0, chunk, axis=1)
+        rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + c0 + int(d), chunk,
+                                            axis=1)
+               for d in flat_offsets]
+        rj = jnp.concatenate(rjs, axis=-1)                 # [3, C, 27A]
+        dr = ri[:, :, :, None] - rj[:, :, None, :]         # [3, C, A, 27A]
+        r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+        mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+        sj = []
+        si = []
+        for s in sp:
+            ss = [jax.lax.dynamic_slice_in_dim(s, pad + c0 + int(d), chunk,
+                                               axis=0)
+                  for d in flat_offsets]
+            sj.append(jnp.concatenate(ss, axis=-1).reshape(chunk, 1, 27 * A))
+            si.append(jax.lax.dynamic_slice_in_dim(
+                s, pad + c0, chunk, axis=0)[:, :, None])
+        fcoef, scalars = pair_fn(r2, mask, sj, si)
+        outs = []
+        if want_force:
+            outs.append(jnp.stack(
+                [jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)]))
+        outs.extend(jnp.sum(s, axis=-1) for s in scalars)
+        return tuple(outs)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    results = jax.lax.map(body, starts)
+
+    back = jnp.asarray(d_of_b[:geom.n_local])
+    out = []
+    i = 0
+    if want_force:
+        f = jnp.moveaxis(results[0], 1, 0).reshape(3, Dp, A)
+        out.append(jnp.take(f, back, axis=1))              # [3, n_local, A]
+        i = 1
+    for res in results[i:]:
+        out.append(jnp.take(res.reshape(Dp, A), back, axis=0))
+    force = out[0] if want_force else None
+    scalars = out[1:] if want_force else out
+    return force, scalars
+
+
 def _padded_chunks(geom: CellGeometry, chunk: int) -> tuple[np.ndarray, int]:
     """Local box ids padded to a multiple of ``chunk`` (pad replays box 0;
     padded outputs are sliced off)."""

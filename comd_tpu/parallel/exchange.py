@@ -156,6 +156,33 @@ def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
     return r, p, gid, n_atoms, overflow
 
 
+def exchange_positions(plan: ExchangePlan, geom: CellGeometry, r):
+    """Slot-aligned ghost-position refresh between NL rebuilds.
+
+    Between neighbor-list rebuilds the cell layout is frozen, so ghost cells
+    stay slot-aligned with their owner cells and a plane-block copy (with the
+    per-axis PBC shift) refreshes every ghost coordinate -- the reference's
+    hash-table slot-reuse path (hashTable.c, gpu_redistribute.h:514-554)
+    reduced to three ppermutes.
+    """
+    dtype = r.dtype
+    for axis in range(3):
+        name = plan.axis_names[axis]
+        to_minus, to_plus = _shift_perms(name)
+        ext = dtype.type(plan.local_extent[axis])
+        (send_m, send_p) = plan.force_send[axis]
+        (recv_m, recv_p) = plan.force_recv[axis]
+        got_from_plus = jax.lax.ppermute(
+            r[:, jnp.asarray(send_m)], name, to_minus)
+        got_from_minus = jax.lax.ppermute(
+            r[:, jnp.asarray(send_p)], name, to_plus)
+        got_from_plus = got_from_plus.at[axis].add(ext)
+        got_from_minus = got_from_minus.at[axis].add(-ext)
+        r = r.at[:, jnp.asarray(recv_p)].set(got_from_plus)
+        r = r.at[:, jnp.asarray(recv_m)].set(got_from_minus)
+    return r
+
+
 def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x):
     """Staged halo exchange of a per-atom scalar field (EAM dfEmbed).
 

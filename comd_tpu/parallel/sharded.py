@@ -26,9 +26,33 @@ from .. import cells, lattice
 from ..config import Config
 from ..constants import KB_EV
 from ..ops import binning, force_lj, force_eam
+from ..ops import neighborlist as nlmod
 from ..potentials.eam import EamPotential
 from . import exchange
-from ..sim import SimState, bin_atoms_host, init_potential
+from ..sim import SimState, NLSimState, bin_atoms_host, init_potential
+
+
+def _strip(state):
+    """Drop the [1,1,1] leading block dims of mesh-sharded array leaves;
+    replicated scalars (e_potential, n_local) pass through."""
+    def fix(x):
+        if hasattr(x, "ndim") and x.ndim >= 3 and x.shape[:3] == (1, 1, 1):
+            return x[0, 0, 0]
+        return x
+    return jax.tree.map(fix, state)
+
+
+def _expand(state, scalar_names=("e_potential", "n_local")):
+    """Re-add [1,1,1] leading dims on non-scalar leaves."""
+    def walk(obj):
+        if dataclasses.is_dataclass(obj):
+            return type(obj)(**{
+                f.name: (getattr(obj, f.name)
+                         if f.name in scalar_names
+                         else walk(getattr(obj, f.name)))
+                for f in dataclasses.fields(obj)})
+        return obj[None, None, None]
+    return walk(state)
 
 
 def make_mesh(px: int, py: int, pz: int, devices=None) -> Mesh:
@@ -64,6 +88,15 @@ class ShardedSimulation:
     @property
     def proc_grid(self):
         return tuple(self.mesh.devices.shape)
+
+    @property
+    def uses_nl(self) -> bool:
+        return self.cfg.use_nl or self.cfg.use_pairlist
+
+    @property
+    def skin(self) -> float:
+        return (self.pot.cutoff * self.cfg.relative_skin_distance
+                if self.uses_nl else 0.0)
 
     # ---------------- per-shard physics (runs inside shard_map) ----------
 
@@ -122,46 +155,182 @@ class ShardedSimulation:
 
         return step
 
-    def _wrap(self, per_shard_fn, n_steps=None):
-        """shard_map a per-shard state->state function over the mesh."""
+    def _wrap(self, per_shard_fn, n_steps=None, carry: str = "sim"):
+        """shard_map a per-shard carry->carry function over the mesh.
+
+        Works for SimState ("sim") and NLSimState ("nl") carries: array
+        leaves are sharded P('x','y','z') with [1,1,1] block dims,
+        replicated scalars pass through.
+        """
         spec = self._spec
 
-        def shard_body(state: SimState) -> SimState:
-            # strip the [1,1,1] leading block dims of mesh-sharded leaves
-            # (scalars e_potential / n_local are replicated, left as-is)
-            inner = dataclasses.replace(
-                state,
-                r=state.r[0, 0, 0], p=state.p[0, 0, 0], f=state.f[0, 0, 0],
-                gid=state.gid[0, 0, 0], n_atoms=state.n_atoms[0, 0, 0])
+        def shard_body(state):
+            inner = _strip(state)
             if n_steps is None:
                 out = per_shard_fn(inner, None)[0]
             else:
                 out, _ = jax.lax.scan(per_shard_fn, inner, None,
                                       length=n_steps)
-            return dataclasses.replace(
-                out,
-                r=out.r[None, None, None], p=out.p[None, None, None],
-                f=out.f[None, None, None], gid=out.gid[None, None, None],
-                n_atoms=out.n_atoms[None, None, None])
+            return _expand(out)
 
-        state_specs = SimState(
+        sim_specs = SimState(
             r=spec, p=spec, f=spec, gid=spec, n_atoms=spec,
             e_potential=P(), n_local=P())
+        if carry == "nl":
+            nl_specs = nlmod.NeighborList(
+                a_list=spec, a_valid=spec, nl=spec, last_r=spec)
+            state_specs = NLSimState(sim=sim_specs, nlist=nl_specs)
+        else:
+            state_specs = sim_specs
         return jax.jit(jax.shard_map(
             shard_body, mesh=self.mesh, in_specs=(state_specs,),
             out_specs=state_specs, check_vma=False))
+
+    # ---------------- neighbor-list (_nl) machinery ----------------
+
+    def _nl_build_params(self):
+        cfg = self.cfg
+        rcut_nl = self.pot.cutoff + self.skin
+        n_rows = nlmod.n_rows_for(self.geom, cfg.max_atoms,
+                                  cfg.nl_rows_factor)
+        if cfg.nl_max_neighbors > 0:
+            k = cfg.nl_max_neighbors
+        else:
+            density = self.n_global / float(np.prod(self.global_extent))
+            mean_nbrs = density * 4.0 / 3.0 * np.pi * rcut_nl ** 3
+            k = int(-(-1.4 * mean_nbrs // 32) * 32)
+        return dict(k=k, rcut2=rcut_nl ** 2, n_rows=n_rows,
+                    chunk=cfg.nl_chunk)
+
+    def _force_fn_nl(self):
+        cfg, pot, geom, plan = self.cfg, self.pot, self.geom, self.plan
+        e_dtype = cfg.jax_energy_dtype
+        chunk = cfg.nl_chunk
+
+        if isinstance(pot, EamPotential):
+            def force(nlist, r, n_atoms):
+                fill = functools.partial(exchange.exchange_scalar, plan, geom)
+                f_full, e_pot, _dfe = force_eam.eam_force_nl(
+                    nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                    e_dtype=e_dtype)
+                return f_full, e_pot
+        else:
+            def force(nlist, r, n_atoms):
+                f_full, _u, e_pot = force_lj.lj_force_nl(
+                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype)
+                return f_full, e_pot
+        return force
+
+    def _shard_step_nl(self):
+        cfg, geom, plan = self.cfg, self.geom, self.plan
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn_nl()
+        skin = self.skin
+        params = self._nl_build_params()
+        n_local_boxes = geom.n_local
+        axes = ("x", "y", "z")
+
+        def rebuild(args):
+            r, p, gid, n_atoms, _nl = args
+            r, p, gid, n_atoms, _nm, _ovf = binning.rebucket(
+                geom, r, p, gid, n_atoms, keep_halo=True)
+            r, p, gid, n_atoms, _ovf2 = exchange.exchange_atoms(
+                plan, geom, r, p, gid, n_atoms)
+            r, p, gid = binning.sort_cells(r, p, gid)
+            nl, _ovf3 = nlmod.build(geom, r, n_atoms, **params)
+            return r, p, gid, n_atoms, nl
+
+        def refresh(args):
+            r, p, gid, n_atoms, nl = args
+            r = exchange.exchange_positions(plan, geom, r)
+            return r, p, gid, n_atoms, nl
+
+        def step(c: NLSimState, _):
+            s, nl = c.sim, c.nlist
+            p = s.p + s.p.dtype.type(0.5 * dt) * s.f
+            r = s.r + p * p.dtype.type(dt * inv_mass)
+            # global rebuild consensus (maxIntParallel analog,
+            # neighborList.c:236-243)
+            dirty_local = nlmod.needs_rebuild(nl, r, n_local_boxes, skin)
+            dirty = jax.lax.psum(dirty_local.astype(jnp.int32), axes) > 0
+            r, p, gid, n_atoms, nl = jax.lax.cond(
+                dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
+            f, e_pot = force(nl, r, n_atoms)
+            f = f.astype(s.f.dtype)
+            p = p + p.dtype.type(0.5 * dt) * f
+            e_pot = jax.lax.psum(e_pot, axes)
+            n_local = jax.lax.psum(jnp.sum(n_atoms[:n_local_boxes]), axes)
+            return NLSimState(
+                sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                             e_potential=e_pot,
+                             n_local=n_local.astype(jnp.int32)),
+                nlist=nl), ()
+
+        return step
+
+    def build_neighbor_list(self) -> None:
+        params = self._nl_build_params()
+
+        def build_fn(state: SimState, _):
+            nl, _ovf = nlmod.build(self.geom, state.r, state.n_atoms,
+                                   **params)
+            return NLSimState(sim=state, nlist=nl), ()
+
+        # piggyback on _wrap: input SimState, output NLSimState
+        spec = self._spec
+        sim_specs = SimState(r=spec, p=spec, f=spec, gid=spec, n_atoms=spec,
+                             e_potential=P(), n_local=P())
+        nl_specs = nlmod.NeighborList(a_list=spec, a_valid=spec, nl=spec,
+                                      last_r=spec)
+
+        def shard_body(state):
+            out = build_fn(_strip(state), None)[0]
+            return _expand(out)
+
+        fn = jax.jit(jax.shard_map(
+            shard_body, mesh=self.mesh, in_specs=(sim_specs,),
+            out_specs=NLSimState(sim=sim_specs, nlist=nl_specs),
+            check_vma=False))
+        out = fn(self.state)
+        self.nlist = out.nlist
 
     # ---------------- public interface ----------------
 
     def step_block(self, n_steps: int) -> None:
         if n_steps not in self._step_block:
-            self._step_block[n_steps] = self._wrap(self._shard_step(),
-                                                   n_steps=n_steps)
-        self.state = self._step_block[n_steps](self.state)
+            if self.uses_nl:
+                self._step_block[n_steps] = self._wrap(
+                    self._shard_step_nl(), n_steps=n_steps, carry="nl")
+            else:
+                self._step_block[n_steps] = self._wrap(self._shard_step(),
+                                                       n_steps=n_steps)
+        if self.uses_nl:
+            out = self._step_block[n_steps](
+                NLSimState(sim=self.state, nlist=self.nlist))
+            self.state, self.nlist = out.sim, out.nlist
+        else:
+            self.state = self._step_block[n_steps](self.state)
 
     def compute_force(self) -> None:
-        force = self._force_fn()
         n_local_boxes = self.geom.n_local
+        if self.uses_nl:
+            force_nl = self._force_fn_nl()
+
+            def eval_force_nl(c: NLSimState, _):
+                f, e_pot = force_nl(c.nlist, c.sim.r, c.sim.n_atoms)
+                e_pot = jax.lax.psum(e_pot, ("x", "y", "z"))
+                return dataclasses.replace(
+                    c, sim=dataclasses.replace(
+                        c.sim, f=f.astype(c.sim.f.dtype),
+                        e_potential=e_pot)), ()
+
+            out = self._wrap(eval_force_nl, carry="nl")(
+                NLSimState(sim=self.state, nlist=self.nlist))
+            self.state, self.nlist = out.sim, out.nlist
+            return
+
+        force = self._force_fn()
 
         def eval_force(state: SimState, _):
             f_loc, e_pot = force(state.r, state.n_atoms)
@@ -255,6 +424,8 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
 
     # initial ghost fill: run the exchange once (atoms are freshly binned)
     sim.state = sim._wrap(_initial_exchange_fn(sim))(sim.state)
+    if sim.uses_nl:
+        sim.build_neighbor_list()
     sim.compute_force()
     return sim
 

@@ -72,6 +72,20 @@ def test_asymmetric_mesh():
         serial.e_potential, abs=1e-8)
 
 
+def test_nl_sharded_matches_serial():
+    """Sharded neighbor-list path vs serial NL path (EAM)."""
+    serial = init_simulation(base_cfg(doeam=True, method="thread_atom_nl"))
+    sharded = init_simulation(base_cfg(doeam=True, method="thread_atom_nl",
+                                       xproc=2, yproc=2, zproc=2))
+    assert sharded.e_potential == pytest.approx(serial.e_potential, abs=1e-9)
+    serial.step_block(12)
+    sharded.step_block(12)
+    assert sharded.sum_atoms() == serial.n_global
+    assert sharded.e_potential == pytest.approx(serial.e_potential, abs=1e-8)
+    assert sharded.kinetic_energy() == pytest.approx(
+        serial.kinetic_energy(), abs=1e-8)
+
+
 def test_energy_conservation_sharded():
     sharded = init_simulation(base_cfg(xproc=2, yproc=2, zproc=2, doeam=True))
     e0 = (sharded.e_potential + sharded.kinetic_energy()) / sharded.n_global

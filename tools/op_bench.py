@@ -1,0 +1,135 @@
+"""Marginal-cost timing of individual step components on the TPU.
+
+Each op is wrapped in a lax.scan that feeds results back into the carry (so
+nothing is DCE'd), timed at two scan lengths, and reported as the marginal
+per-iteration cost.  Usage: python tools/op_bench.py [nx] [ops...]
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import comd_tpu  # noqa: E402
+from comd_tpu import Config, cells  # noqa: E402
+from comd_tpu.sim import init_simulation  # noqa: E402
+from comd_tpu.ops import binning, force_lj, force_eam, sweep  # noqa: E402
+
+T0 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
+
+
+def marginal(name, scan_fn, init, short=3, long=15):
+    f_s = jax.jit(functools.partial(scan_fn, length=short))
+    f_l = jax.jit(functools.partial(scan_fn, length=long))
+    float(jnp.sum(f_s(init)))  # compile + drain
+    float(jnp.sum(f_l(init)))
+    best = 1e30
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(f_s(init)))
+        ts = time.time() - t0
+        t0 = time.time()
+        float(jnp.sum(f_l(init)))
+        tl = time.time() - t0
+        best = min(best, (tl - ts) / (long - short))
+    log(f"{name:24s} {best*1e3:9.3f} ms/iter")
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    ops = sys.argv[2:] or ["lj", "lj_dense", "eam_dense", "rebucket", "halo"]
+    cfg = Config(nx=n, ny=n, nz=n, temperature=600.0, dtype="float32",
+                 max_atoms=32, box_chunk=256, pot_dir="/root/repo/pots")
+    sim = init_simulation(cfg)
+    geom, pot = sim.geom, sim.pot
+    st = sim.state
+    ext = sim.global_extent
+    log(f"init atoms={sim.n_global} boxes={geom.n_local}")
+
+    rcut2 = pot.cutoff ** 2
+    pair_fn = force_lj.make_lj_pair_fn(pot, st.r.dtype)
+
+    if "lj" in ops:
+        def scan_lj(r, length):
+            def body(r, _):
+                f, _u = sweep.cell_pair_sweep(geom, r, pair_fn, rcut2,
+                                              chunk=256)
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("lj gather sweep", scan_lj, st.r)
+
+    if "lj_dense" in ops:
+        def scan_ljd(r, length):
+            def body(r, _):
+                f, _u = sweep.cell_pair_sweep_dense(geom, r, pair_fn, rcut2,
+                                                    chunk=256)
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("lj dense-slice sweep", scan_ljd, st.r)
+
+    if "eam_dense" in ops or "eam" in ops:
+        from comd_tpu.potentials.eam import init_eam_pot
+        epot = init_eam_pot("/root/repo/pots", "Cu_u6.eam", "funcfl")
+        fill = functools.partial(binning.fill_halo_scalar_serial, geom)
+        ercut2 = epot.cutoff ** 2
+        eval_phi, eval_rho = force_eam.make_evaluators(epot, st.r.dtype, False)
+        p1 = force_eam.make_pair1(eval_phi, eval_rho)
+        which = sweep.cell_pair_sweep_dense if "eam_dense" in ops \
+            else sweep.cell_pair_sweep
+
+        def scan_eam1(r, length):
+            def body(r, _):
+                f, _s = which(geom, r, p1, ercut2, chunk=256)
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("eam pass1 (interp)", scan_eam1, st.r)
+
+    if "rebucket" in ops:
+        def scan_rb(carry, length):
+            r, p, gid, na = carry
+            def body(c, _):
+                r, p, gid, na = c
+                r2, p2, g2, n2, _nm, _ov = binning.rebucket(
+                    geom, r, p, gid, na, wrap_extent=ext)
+                return (r2, p2, g2, n2), ()
+            (r, p, gid, na), _ = jax.lax.scan(body, (r, p, gid, na), None,
+                                              length=length)
+            return r
+        marginal("rebucket (sort+scatter)", scan_rb,
+                 (st.r, st.p, st.gid, st.n_atoms))
+
+    if "halo" in ops:
+        def scan_halo(r, length):
+            def body(r, _):
+                r2, _g, _n = binning.fill_halo_serial(geom, r, st.gid,
+                                                      st.n_atoms)
+                return r2, ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("halo fill", scan_halo, st.r)
+
+    if "sort_cells" in ops:
+        def scan_sc(carry, length):
+            r, p, gid = carry
+            def body(c, _):
+                return binning.sort_cells(*c), ()
+            out, _ = jax.lax.scan(body, (r, p, gid), None, length=length)
+            return out[0]
+        marginal("sort_cells (in-cell)", scan_sc, (st.r, st.p, st.gid))
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

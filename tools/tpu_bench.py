@@ -1,0 +1,69 @@
+"""Trustworthy TPU step timing through the axon relay.
+
+block_until_ready() through the relay can return before device work drains,
+and one-off D2H reads can stall for unrelated relay reasons.  So: force a
+real value transfer (float()) after every block, and estimate per-step cost
+from the *difference* between a long and a short block (fixed overheads --
+dispatch, transfer, stalls -- cancel).
+
+Usage: python tools/tpu_bench.py <nx> <lj|eam> [short] [long]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import comd_tpu  # noqa: E402
+from comd_tpu import Config  # noqa: E402
+from comd_tpu.sim import init_simulation  # noqa: E402
+
+
+def main():
+    n = int(sys.argv[1])
+    doeam = sys.argv[2] == "eam"
+    short = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    long = int(sys.argv[4]) if len(sys.argv) > 4 else short * 5
+    method = sys.argv[5] if len(sys.argv) > 5 else "thread_atom"
+
+    T0 = time.time()
+
+    def log(m):
+        print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
+
+    cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
+                 dtype="float32", max_atoms=32, box_chunk=256,
+                 method=method, pot_dir="/root/repo/pots")
+    sim = init_simulation(cfg)
+    log(f"init done atoms={sim.n_global} method={method}")
+
+    def run(k):
+        sim.step_block(k)
+        return float(sim.state.e_potential)  # real D2H sync
+
+    # compile both block sizes
+    run(short)
+    log(f"compiled scan-{short}")
+    run(long)
+    log(f"compiled scan-{long}")
+
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        run(short)
+        ts = time.time() - t0
+        t0 = time.time()
+        run(long)
+        tl = time.time() - t0
+        per_step = (tl - ts) / (long - short)
+        samples.append(per_step)
+        log(f"short({short})={ts:7.3f}s long({long})={tl:7.3f}s "
+            f"-> {per_step*1e3:8.2f} ms/step "
+            f"({sim.n_global/max(per_step,1e-12):.3e} atom-steps/s)")
+    best = min(samples)
+    log(f"BEST {best*1e3:.2f} ms/step = "
+        f"{sim.n_global/best:.3e} atom-steps/s  "
+        f"ePot/atom={sim.e_potential/sim.n_global:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Wait until the TPU answers a trivial op, then run the given command.
+for i in $(seq 1 20); do
+  if timeout 90 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128)); assert float((x@x)[0,0]) == 128.0
+print('TPU healthy')" 2>/dev/null | grep -q healthy; then
+    exec "$@"
+  fi
+  echo "[gate] TPU not responding (attempt $i), waiting 30s..." >&2
+  sleep 30
+done
+echo "[gate] giving up" >&2
+exit 1
