@@ -203,6 +203,24 @@ def make_geometry(local_min, local_max, cutoff: float,
     return geom
 
 
+def boundary_lists(geom: CellGeometry, ring: int = 1):
+    """(interior_ids, boundary_ids): local cells split by distance to the
+    halo shell (SetBoundaryCells analog, src-mpi/gpu_utility.c:73-163).
+
+    ``ring=1`` marks cells whose 27-neighborhood touches halo cells -- the
+    set whose force evaluation depends on ghost data.  Interior cells can be
+    computed while exchanges are in flight (the -a capability).
+    """
+    t = geom.tuple_of_box[:geom.n_local]
+    g = geom.grid
+    is_boundary = np.zeros(geom.n_local, dtype=bool)
+    for a in range(3):
+        is_boundary |= (t[:, a] < ring) | (t[:, a] >= g[a] - ring)
+    boundary = np.flatnonzero(is_boundary).astype(np.int32)
+    interior = np.flatnonzero(~is_boundary).astype(np.int32)
+    return interior, boundary
+
+
 def box_from_coord(geom: CellGeometry, r: np.ndarray) -> np.ndarray:
     """Vectorized getBoxFromCoord with ownership tie-breaking
     (linkCells.c:448-480).  ``r`` is [..., 3]; returns box ids."""

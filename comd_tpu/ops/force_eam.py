@@ -181,6 +181,86 @@ def eam_force_nl(
     return force, e_pot, df_embed
 
 
+def _scatter_lists(n_local, interior, boundary, vi, vb):
+    """Assemble per-list sweep outputs into full [.., n_local, A] arrays."""
+    A = vi.shape[-1]
+    lead = vi.shape[:-2]
+    out = jnp.zeros(lead + (n_local, A), dtype=vi.dtype)
+    ii = jnp.asarray(interior)
+    bb = jnp.asarray(boundary)
+    out = out.at[..., ii, :].set(vi)
+    out = out.at[..., bb, :].set(vb)
+    return out
+
+
+def eam_force_split(
+    geom: CellGeometry,
+    pot: EamPotential,
+    r,                          # [3, B, A] post-exchange (ghosts filled)
+    fill_halo_scalar: Callable,
+    interior,                   # static local box id lists
+    boundary,
+    *,
+    r_pre=None,                 # pre-exchange positions; interior sweeps use
+                                # these so XLA can overlap the exchanges with
+                                # interior compute (-a 1, eam.c:196-264)
+    spline: bool = False,
+    chunk: int = 256,
+    e_dtype=jnp.float64,
+):
+    """EAM force with the interior/boundary split (the gpuAsync capability).
+
+    Interior cells never touch halo data: their pass-1/3 sweeps read only
+    pre-exchange positions and pre-exchange dfEmbed, so they carry no data
+    dependency on the collectives -- the XLA scheduler is free to overlap
+    them, which is the TPU-native expression of the reference's
+    interior_stream/boundary_stream design (gpu_utility.c:73-163,
+    timestep.c:257-265).
+
+    Returns (force [3, n_local, A], u_raw [n_local, A], dfEmbed [B, A]).
+    """
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    f_dev = pot.f.values_device(dtype)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+    pair1 = make_pair1(eval_phi, eval_rho)
+    pair3 = make_pair3(eval_rho)
+    r_pre = r if r_pre is None else r_pre
+
+    # pass 1: interior on pre-exchange positions, boundary on final ones
+    f1_i, (phi_i, rho_i) = cell_pair_sweep(
+        geom, r_pre, pair1, rcut2, chunk=chunk, boxes=interior)
+    f1_b, (phi_b, rho_b) = cell_pair_sweep(
+        geom, r, pair1, rcut2, chunk=chunk, boxes=boundary)
+
+    # pass 2 per list
+    femb_i, dfe_i = _interp(f_dev, pot.f, rho_i)
+    femb_b, dfe_b = _interp(f_dev, pot.f, rho_b)
+
+    u_raw = _scatter_lists(
+        geom.n_local, interior, boundary,
+        0.5 * phi_i.astype(e_dtype) + femb_i.astype(e_dtype),
+        0.5 * phi_b.astype(e_dtype) + femb_b.astype(e_dtype))
+
+    df_local = jnp.zeros((B, A), dtype=dtype)
+    df_local = df_local.at[:geom.n_local].set(_scatter_lists(
+        geom.n_local, interior, boundary,
+        dfe_i.astype(dtype), dfe_b.astype(dtype)))
+
+    # pass 3 interior is independent of the dfEmbed exchange (interior
+    # neighborhoods only read local dfEmbed); boundary waits for it
+    f3_i, _ = cell_pair_sweep(geom, r_pre, pair3, rcut2, chunk=chunk,
+                              boxes=interior, scalar_j=[df_local])
+    df_full = fill_halo_scalar(df_local)
+    f3_b, _ = cell_pair_sweep(geom, r, pair3, rcut2, chunk=chunk,
+                              boxes=boundary, scalar_j=[df_full])
+
+    force = _scatter_lists(geom.n_local, interior, boundary,
+                           f1_i + f3_i, f1_b + f3_b)
+    return force, u_raw, df_full
+
+
 def finalize_eam_energy(u, valid_mask, e_dtype=jnp.float64):
     """Mask embedding energy of empty slots and reduce.
 

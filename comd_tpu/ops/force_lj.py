@@ -86,6 +86,27 @@ def lj_force_interp(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
     return force, u.astype(dtype), e_pot
 
 
+def lj_force_split(geom: CellGeometry, pot: LjPotential, r, interior,
+                   boundary, *, r_pre=None, chunk=256, e_dtype=jnp.float64):
+    """LJ with the interior/boundary split: interior cells sweep
+    pre-exchange positions so XLA can overlap the atom exchange with
+    interior force compute (-a capability; see force_eam.eam_force_split)."""
+    from .force_eam import _scatter_lists
+    rcut2 = pot.cutoff * pot.cutoff
+    pair_fn = make_lj_pair_fn(pot, r.dtype)
+    r_pre = r if r_pre is None else r_pre
+    f_i, (u_i,) = cell_pair_sweep(geom, r_pre, pair_fn, rcut2, chunk=chunk,
+                                  boxes=interior)
+    f_b, (u_b,) = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk,
+                                  boxes=boundary)
+    scale = 0.5 * 4.0 * pot.epsilon
+    u = _scatter_lists(geom.n_local, interior, boundary,
+                       scale * u_i.astype(e_dtype),
+                       scale * u_b.astype(e_dtype))
+    force = _scatter_lists(geom.n_local, interior, boundary, f_i, f_b)
+    return force, u.astype(r.dtype), jnp.sum(u)
+
+
 def lj_force_nl(nlist, pot: LjPotential, r, *, chunk=2048,
                 e_dtype=jnp.float64):
     """LJ via Verlet neighbor list (thread_atom_nl / -L pairlist analog).

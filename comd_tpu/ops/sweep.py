@@ -128,14 +128,19 @@ def cell_pair_sweep_dense(
     return force, scalars
 
 
-def _padded_chunks(geom: CellGeometry, chunk: int) -> tuple[np.ndarray, int]:
-    """Local box ids padded to a multiple of ``chunk`` (pad replays box 0;
-    padded outputs are sliced off)."""
-    n_local = geom.n_local
-    n_chunks = -(-n_local // chunk)
-    boxes = np.zeros((n_chunks * chunk,), dtype=np.int32)
-    boxes[:n_local] = np.arange(n_local, dtype=np.int32)
-    return boxes.reshape(n_chunks, chunk), n_chunks
+def _padded_chunks(geom: CellGeometry, chunk: int,
+                   boxes=None) -> tuple[np.ndarray, int, int]:
+    """Box ids (all local cells, or an explicit subset) padded to a multiple
+    of ``chunk`` (pad replays box 0; padded outputs are sliced off)."""
+    if boxes is None:
+        boxes = np.arange(geom.n_local, dtype=np.int32)
+    boxes = np.asarray(boxes, dtype=np.int32)
+    n = len(boxes)
+    chunk = min(chunk, max(8, n))
+    n_chunks = -(-n // chunk)
+    padded = np.zeros((n_chunks * chunk,), dtype=np.int32)
+    padded[:n] = boxes
+    return padded.reshape(n_chunks, chunk), n_chunks, n
 
 
 def cell_pair_sweep(
@@ -147,20 +152,23 @@ def cell_pair_sweep(
     scalar_j: Sequence[jnp.ndarray] = (),   # per-atom fields gathered at j
     chunk: int = 256,
     want_force: bool = True,
+    boxes=None,                             # optional subset of local boxes
 ):
-    """Run ``pair_fn`` over all (local atom i, 27-cell neighbor j) pairs.
+    """Run ``pair_fn`` over all (atom i, 27-cell neighbor j) pairs for the
+    given boxes (default: every local cell).
 
     ``pair_fn(r2, mask, sj_list, si_list)`` receives the squared distances
     [C, A, 27A], the validity mask, each requested per-atom field gathered at
     the j atoms ([C, 1, 27A]) and at the i atoms ([C, A, 1]); it returns
     ``(fcoef, scalars)`` where ``fcoef`` (or None) multiplies dr = r_i - r_j
     and is summed into the force on i, and ``scalars`` is a list of per-pair
-    values summed over j into per-atom outputs [n_local, A].
+    values summed over j into per-atom outputs [n_boxes, A] in ``boxes``
+    order.
 
-    Returns (force [3, n_local, A] or None, [scalar outputs...]).
+    Returns (force [3, n_boxes, A] or None, [scalar outputs...]).
     """
     A = r.shape[-1]
-    boxes_chunks, n_chunks = _padded_chunks(geom, chunk)
+    boxes_chunks, n_chunks, n_out = _padded_chunks(geom, chunk, boxes)
     nbr = geom.nbr_map  # [n_local, 27]
     nbr_chunks = np.take(nbr, boxes_chunks, axis=0)  # [n_chunks, C, 27]
 
@@ -193,18 +201,18 @@ def cell_pair_sweep(
         body,
         (jnp.asarray(boxes_chunks), jnp.asarray(nbr_chunks)),
     )
-    # lax.map stacks -> [n_chunks, ...]; chunks are contiguous box ranges, so
-    # a reshape + slice restores [n_local, ...].
+    # lax.map stacks -> [n_chunks, ...]; reshape + slice restores [n_out, ...]
+    # in ``boxes`` order.
     out = []
     i = 0
     if want_force:
         fstk = results[0]                        # [n_chunks, 3, C, A]
         f = jnp.moveaxis(fstk, 1, 0).reshape(3, n_chunks * boxes_chunks.shape[1], A)
-        out.append(f[:, :geom.n_local])
+        out.append(f[:, :n_out])
         i = 1
     for res in results[i:]:
         s = res.reshape(n_chunks * boxes_chunks.shape[1], A)
-        out.append(s[:geom.n_local])
+        out.append(s[:n_out])
     force = out[0] if want_force else None
     scalars = out[1:] if want_force else out
     return force, scalars

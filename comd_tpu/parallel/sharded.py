@@ -104,13 +104,22 @@ class ShardedSimulation:
         cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
+        fill = functools.partial(exchange.exchange_scalar, plan, geom)
+        use_async = bool(cfg.gpu_async)
+        if use_async:
+            interior, boundary = cells.boundary_lists(geom, ring=1)
 
         if isinstance(pot, EamPotential):
-            def force(r, n_atoms):
-                fill = functools.partial(exchange.exchange_scalar, plan, geom)
-                f_loc, u_raw, _dfe = force_eam.eam_force(
-                    geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype)
+            def force(r, n_atoms, r_pre=None):
+                if use_async:
+                    f_loc, u_raw, _dfe = force_eam.eam_force_split(
+                        geom, pot, r, fill, interior, boundary,
+                        r_pre=r_pre, spline=cfg.spline, chunk=chunk,
+                        e_dtype=e_dtype)
+                else:
+                    f_loc, u_raw, _dfe = force_eam.eam_force(
+                        geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                        e_dtype=e_dtype)
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
@@ -121,9 +130,14 @@ class ShardedSimulation:
             lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
                      else force_lj.lj_force)
 
-            def force(r, n_atoms):
-                f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
-                                         e_dtype=e_dtype)
+            def force(r, n_atoms, r_pre=None):
+                if use_async:
+                    f_loc, _u, e_pot = force_lj.lj_force_split(
+                        geom, pot, r, interior, boundary, r_pre=r_pre,
+                        chunk=chunk, e_dtype=e_dtype)
+                else:
+                    f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
+                                             e_dtype=e_dtype)
                 return f_loc, e_pot
         return force
 
@@ -134,15 +148,19 @@ class ShardedSimulation:
         force = self._force_fn()
         n_local_boxes = geom.n_local
 
+        use_async = bool(cfg.gpu_async)
+
         def step(state: SimState, _):
             p = state.p + state.p.dtype.type(0.5 * dt) * state.f
             r = state.r + p * p.dtype.type(dt * inv_mass)
-            r, p, gid, n_atoms, _nmig, ovf1 = binning.rebucket(
+            r_pre, p, gid, n_atoms, _nmig, ovf1 = binning.rebucket(
                 geom, r, p, state.gid, state.n_atoms, keep_halo=True)
             r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
-                plan, geom, r, p, gid, n_atoms)
+                plan, geom, r_pre, p, gid, n_atoms)
             r, p, gid = binning.sort_cells(r, p, gid)
-            f_loc, e_pot = force(r, n_atoms)
+            # async: interior force sweeps read r_pre (identical on interior
+            # cells), so they carry no dependency on the exchange collectives
+            f_loc, e_pot = force(r, n_atoms, r_pre if use_async else None)
             f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
                 f_loc.astype(state.f.dtype))
             p = p + p.dtype.type(0.5 * dt) * f

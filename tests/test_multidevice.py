@@ -86,6 +86,20 @@ def test_nl_sharded_matches_serial():
         serial.kinetic_energy(), abs=1e-8)
 
 
+def test_async_overlap_matches_sync():
+    """-a 1 (interior/boundary split with overlap-enabling structure) must be
+    bitwise identical to the sync path: the split changes scheduling freedom,
+    not math."""
+    sync = init_simulation(base_cfg(doeam=True, xproc=2, yproc=1, zproc=1))
+    async_ = init_simulation(base_cfg(doeam=True, xproc=2, yproc=1, zproc=1,
+                                      gpu_async=1))
+    assert async_.e_potential == sync.e_potential
+    sync.step_block(8)
+    async_.step_block(8)
+    assert async_.sum_atoms() == sync.n_global
+    assert async_.e_potential == sync.e_potential  # bitwise
+
+
 def test_energy_conservation_sharded():
     sharded = init_simulation(base_cfg(xproc=2, yproc=2, zproc=2, doeam=True))
     e0 = (sharded.e_potential + sharded.kinetic_energy()) / sharded.n_global
