@@ -70,6 +70,11 @@ class Config:
     dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
     energy_dtype: str = "float64"
     box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
+    lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
+                                # rebucket only on the skin/2 trigger instead
+                                # of every step (strictly faster than the
+                                # reference's per-step redistribution; set
+                                # False or -S 0 for eager parity behavior)
     nl_max_neighbors: int = 0   # 0 = auto-size from density; reference fixed
                                 # MAXNEIGHBORLISTSIZE=64 (defines.h:66) only
                                 # fits the EAM cutoff, not LJ 2.5*sigma

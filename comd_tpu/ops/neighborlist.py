@@ -94,11 +94,14 @@ def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
                         last_r=r), overflow
 
 
-def needs_rebuild(nlist: NeighborList, r, n_local: int, skin: float):
-    """Any local atom displaced more than skin/2 since the build
+def needs_rebuild(last_r, r, n_local: int, skin: float):
+    """Any local atom displaced more than skin/2 since the last build
     (neighborList.c:212-247).  Caller psums across shards for the global
-    consensus (maxIntParallel analog)."""
-    d = r[:, :n_local] - nlist.last_r[:, :n_local]
+    consensus (maxIntParallel analog).  ``last_r`` may be a NeighborList or
+    a raw [3, B, A] snapshot."""
+    if isinstance(last_r, NeighborList):
+        last_r = last_r.last_r
+    d = r[:, :n_local] - last_r[:, :n_local]
     disp2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
     return jnp.max(disp2) > (0.5 * skin) ** 2
 

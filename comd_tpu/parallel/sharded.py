@@ -29,7 +29,8 @@ from ..ops import binning, force_lj, force_eam
 from ..ops import neighborlist as nlmod
 from ..potentials.eam import EamPotential
 from . import exchange
-from ..sim import SimState, NLSimState, bin_atoms_host, init_potential
+from ..sim import (SimState, NLSimState, LazySimState, bin_atoms_host,
+                   init_potential)
 
 
 def _strip(state):
@@ -94,9 +95,14 @@ class ShardedSimulation:
         return self.cfg.use_nl or self.cfg.use_pairlist
 
     @property
+    def uses_lazy(self) -> bool:
+        return (not self.uses_nl and self.cfg.lazy_shell
+                and self.cfg.relative_skin_distance > 0)
+
+    @property
     def skin(self) -> float:
         return (self.pot.cutoff * self.cfg.relative_skin_distance
-                if self.uses_nl else 0.0)
+                if (self.uses_nl or self.uses_lazy) else 0.0)
 
     # ---------------- per-shard physics (runs inside shard_map) ----------
 
@@ -198,6 +204,8 @@ class ShardedSimulation:
             nl_specs = nlmod.NeighborList(
                 a_list=spec, a_valid=spec, nl=spec, last_r=spec)
             state_specs = NLSimState(sim=sim_specs, nlist=nl_specs)
+        elif carry == "lazy":
+            state_specs = LazySimState(sim=sim_specs, last_r=spec)
         else:
             state_specs = sim_specs
         return jax.jit(jax.shard_map(
@@ -287,6 +295,58 @@ class ShardedSimulation:
 
         return step
 
+    def _shard_step_lazy(self):
+        """Lazy-shell cell stepping over the mesh: full redistribution
+        (rebucket + staged atom exchange + canonical sort) only on the
+        psum'd skin/2 trigger; otherwise a slot-aligned ghost-position
+        refresh.  Amortizes the per-step redistribution the reference pays
+        (timestep.c:69) over ~skin/(2*v*dt) steps."""
+        cfg, geom, plan = self.cfg, self.geom, self.plan
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn()
+        skin = self.skin
+        n_local_boxes = geom.n_local
+        axes = ("x", "y", "z")
+        use_async = bool(cfg.gpu_async)
+
+        def rebuild(args):
+            r, p, gid, n_atoms, _last = args
+            r1, p, gid, n_atoms, _nm, _ovf = binning.rebucket(
+                geom, r, p, gid, n_atoms, keep_halo=True)
+            r2, p, gid, n_atoms, _ovf2 = exchange.exchange_atoms(
+                plan, geom, r1, p, gid, n_atoms)
+            r2, p, gid = binning.sort_cells(r2, p, gid)
+            return r2, p, gid, n_atoms, r2, r1  # r_pre = post-rebucket
+
+        def refresh(args):
+            r, p, gid, n_atoms, last_r = args
+            r2 = exchange.exchange_positions(plan, geom, r)
+            return r2, p, gid, n_atoms, last_r, r  # r_pre = pre-refresh
+
+        def step(c: LazySimState, _):
+            s = c.sim
+            p = s.p + s.p.dtype.type(0.5 * dt) * s.f
+            r = s.r + p * p.dtype.type(dt * inv_mass)
+            dirty_local = nlmod.needs_rebuild(c.last_r, r, n_local_boxes,
+                                              skin)
+            dirty = jax.lax.psum(dirty_local.astype(jnp.int32), axes) > 0
+            r, p, gid, n_atoms, last_r, r_pre = jax.lax.cond(
+                dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
+            f_loc, e_pot = force(r, n_atoms, r_pre if use_async else None)
+            f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
+                f_loc.astype(s.f.dtype))
+            p = p + p.dtype.type(0.5 * dt) * f
+            e_pot = jax.lax.psum(e_pot, axes)
+            n_local = jax.lax.psum(jnp.sum(n_atoms[:n_local_boxes]), axes)
+            return LazySimState(
+                sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                             e_potential=e_pot,
+                             n_local=n_local.astype(jnp.int32)),
+                last_r=last_r), ()
+
+        return step
+
     def build_neighbor_list(self) -> None:
         params = self._nl_build_params()
 
@@ -318,15 +378,24 @@ class ShardedSimulation:
     def step_block(self, n_steps: int) -> None:
         if n_steps not in self._step_block:
             if self.uses_nl:
-                self._step_block[n_steps] = self._wrap(
-                    self._shard_step_nl(), n_steps=n_steps, carry="nl")
+                fn = self._wrap(self._shard_step_nl(), n_steps=n_steps,
+                                carry="nl")
+            elif self.uses_lazy:
+                fn = self._wrap(self._shard_step_lazy(), n_steps=n_steps,
+                                carry="lazy")
             else:
-                self._step_block[n_steps] = self._wrap(self._shard_step(),
-                                                       n_steps=n_steps)
+                fn = self._wrap(self._shard_step(), n_steps=n_steps)
+            self._step_block[n_steps] = fn
         if self.uses_nl:
             out = self._step_block[n_steps](
                 NLSimState(sim=self.state, nlist=self.nlist))
             self.state, self.nlist = out.sim, out.nlist
+        elif self.uses_lazy:
+            if getattr(self, "last_r", None) is None:
+                self.last_r = self.state.r
+            out = self._step_block[n_steps](
+                LazySimState(sim=self.state, last_r=self.last_r))
+            self.state, self.last_r = out.sim, out.last_r
         else:
             self.state = self._step_block[n_steps](self.state)
 

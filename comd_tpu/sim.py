@@ -54,6 +54,14 @@ class NLSimState:
     nlist: nlmod.NeighborList
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LazySimState:
+    """SimState + rebucket-time position snapshot (lazy-shell cell methods)."""
+    sim: SimState
+    last_r: jax.Array    # [3, B, A]
+
+
 @dataclasses.dataclass
 class Simulation:
     """Host-side handle: static params + device state + compiled step."""
@@ -79,9 +87,15 @@ class Simulation:
         return self.cfg.use_nl or self.cfg.use_pairlist
 
     @property
+    def uses_lazy(self) -> bool:
+        """Cell methods with a skin shell: rebucket on the skin/2 trigger."""
+        return (not self.uses_nl and self.cfg.lazy_shell
+                and self.cfg.relative_skin_distance > 0)
+
+    @property
     def skin(self) -> float:
         return (self.pot.cutoff * self.cfg.relative_skin_distance
-                if self.uses_nl else 0.0)
+                if (self.uses_nl or self.uses_lazy) else 0.0)
 
     # ---------------- force + energy ----------------
 
@@ -241,6 +255,55 @@ class Simulation:
 
         return step
 
+    # ---------------- lazy-shell cell stepping ----------------
+
+    def _make_step_lazy(self):
+        """Cell-sweep step with the skin/2 rebucket trigger: the dense
+        redistribution (sort + scatter + halo rebuild) runs only when some
+        atom moved skin/2 since the last rebucket; other steps just refresh
+        ghost positions.  Amortizes the reference's every-step
+        redistributeAtoms (timestep.c:69) over ~skin/(2*v*dt) steps."""
+        cfg, geom = self.cfg, self.geom
+        dt = cfg.dt
+        inv_mass = 1.0 / self.mass
+        force = self._force_fn()
+        ext = self.global_extent
+        skin = self.skin
+        n_local_boxes = geom.n_local
+
+        def rebuild(args):
+            r, p, gid, n_atoms, _last = args
+            r_l, p_l, gid2, n2, _nm, _ovf = binning.rebucket(
+                geom, r, p, gid, n_atoms, wrap_extent=ext)
+            r2, gid2, n2 = binning.fill_halo_serial(geom, r_l, gid2, n2)
+            return r2, p_l, gid2, n2, r2
+
+        def refresh(args):
+            r, p, gid, n_atoms, last_r = args
+            src = jnp.asarray(geom.halo_src)
+            shift = jnp.asarray(geom.halo_shift, dtype=r.dtype)
+            r = r.at[:, n_local_boxes:].set(r[:, src] + shift.T[:, :, None])
+            return r, p, gid, n_atoms, last_r
+
+        def step(c: LazySimState, _):
+            s = c.sim
+            p = s.p + s.p.dtype.type(0.5 * dt) * s.f
+            r = s.r + p * p.dtype.type(dt * inv_mass)
+            dirty = nlmod.needs_rebuild(c.last_r, r, n_local_boxes, skin)
+            r, p, gid, n_atoms, last_r = jax.lax.cond(
+                dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
+            f_loc, _u, e_pot = force(r, n_atoms)
+            f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
+                f_loc.astype(s.f.dtype))
+            p = p + p.dtype.type(0.5 * dt) * f
+            n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
+            return LazySimState(
+                sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
+                             e_potential=e_pot, n_local=n_local),
+                last_r=last_r), ()
+
+        return step
+
     # ---------------- stepping ----------------
 
     def step_block(self, n_steps: int) -> None:
@@ -248,25 +311,27 @@ class Simulation:
         if n_steps not in self._step_block:
             if self.uses_nl:
                 step = self._make_step_nl()
-
-                @jax.jit
-                def block(carry):
-                    carry, _ = jax.lax.scan(step, carry, None,
-                                            length=n_steps)
-                    return carry
+            elif self.uses_lazy:
+                step = self._make_step_lazy()
             else:
                 step = self._make_step()
 
-                @jax.jit
-                def block(state):
-                    state, _ = jax.lax.scan(step, state, None, length=n_steps)
-                    return state
+            @jax.jit
+            def block(carry):
+                carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
+                return carry
 
             self._step_block[n_steps] = block
         if self.uses_nl:
             out = self._step_block[n_steps](
                 NLSimState(sim=self.state, nlist=self.nlist))
             self.state, self.nlist = out.sim, out.nlist
+        elif self.uses_lazy:
+            if getattr(self, "last_r", None) is None:
+                self.last_r = self.state.r
+            out = self._step_block[n_steps](
+                LazySimState(sim=self.state, last_r=self.last_r))
+            self.state, self.last_r = out.sim, out.last_r
         else:
             self.state = self._step_block[n_steps](self.state)
 
@@ -335,8 +400,9 @@ def init_simulation(cfg: Config):
     lat = cfg.lat if cfg.lat > 0 else pot.lat
     global_extent = np.array([cfg.nx, cfg.ny, cfg.nz], np.float64) * lat
 
-    skin = (pot.cutoff * cfg.relative_skin_distance
-            if (cfg.use_nl or cfg.use_pairlist) else 0.0)
+    use_skin = (cfg.use_nl or cfg.use_pairlist
+                or (cfg.lazy_shell and cfg.relative_skin_distance > 0))
+    skin = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
     geom = cells.make_geometry(
         np.zeros(3), global_extent, pot.cutoff + skin,
         use_hilbert=cfg.do_hilbert)
