@@ -16,6 +16,11 @@ from .config import Config
 from .constants import KB_EV
 
 
+def jnp_any(x) -> bool:
+    import numpy as np
+    return bool(np.any(np.asarray(x)))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="comd-tpu",
@@ -136,6 +141,10 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None) -> dict:
         dt_wall = time.perf_counter() - t0
         timers.stop("timestep")
         i_step += n_block
+        if bool(jnp_any(sim.state.overflow)):
+            raise RuntimeError(
+                f"cell/neighbor capacity overflow at step {i_step}: "
+                f"increase --maxAtoms (current {cfg.max_atoms})")
         print_things(sim, i_step, dt_wall, n_block, out=out)
     timers.stop("loop")
 

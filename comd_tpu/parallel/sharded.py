@@ -43,7 +43,7 @@ def _strip(state):
     return jax.tree.map(fix, state)
 
 
-def _expand(state, scalar_names=("e_potential", "n_local")):
+def _expand(state, scalar_names=("e_potential", "n_local", "overflow")):
     """Re-add [1,1,1] leading dims on non-scalar leaves."""
     def walk(obj):
         if dataclasses.is_dataclass(obj):
@@ -163,6 +163,8 @@ class ShardedSimulation:
                 geom, r, p, state.gid, state.n_atoms, keep_halo=True)
             r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
                 plan, geom, r_pre, p, gid, n_atoms)
+            ovf = jax.lax.psum((ovf1 | ovf2).astype(jnp.int32),
+                               ("x", "y", "z")) > 0
             r, p, gid = binning.sort_cells(r, p, gid)
             # async: interior force sweeps read r_pre (identical on interior
             # cells), so they carry no dependency on the exchange collectives
@@ -175,7 +177,8 @@ class ShardedSimulation:
                 jnp.sum(n_atoms[:n_local_boxes]), ("x", "y", "z"))
             return SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
                             e_potential=e_pot,
-                            n_local=n_local.astype(jnp.int32)), ()
+                            n_local=n_local.astype(jnp.int32),
+                            overflow=state.overflow | ovf), ()
 
         return step
 
@@ -199,7 +202,7 @@ class ShardedSimulation:
 
         sim_specs = SimState(
             r=spec, p=spec, f=spec, gid=spec, n_atoms=spec,
-            e_potential=P(), n_local=P())
+            e_potential=P(), n_local=P(), overflow=P())
         if carry == "nl":
             nl_specs = nlmod.NeighborList(
                 a_list=spec, a_valid=spec, nl=spec, last_r=spec)
@@ -259,18 +262,18 @@ class ShardedSimulation:
 
         def rebuild(args):
             r, p, gid, n_atoms, _nl = args
-            r, p, gid, n_atoms, _nm, _ovf = binning.rebucket(
+            r, p, gid, n_atoms, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, keep_halo=True)
-            r, p, gid, n_atoms, _ovf2 = exchange.exchange_atoms(
+            r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
                 plan, geom, r, p, gid, n_atoms)
             r, p, gid = binning.sort_cells(r, p, gid)
-            nl, _ovf3 = nlmod.build(geom, r, n_atoms, **params)
-            return r, p, gid, n_atoms, nl
+            nl, ovf3 = nlmod.build(geom, r, n_atoms, **params)
+            return r, p, gid, n_atoms, nl, ovf | ovf2 | ovf3
 
         def refresh(args):
             r, p, gid, n_atoms, nl = args
             r = exchange.exchange_positions(plan, geom, r)
-            return r, p, gid, n_atoms, nl
+            return r, p, gid, n_atoms, nl, jnp.zeros((), jnp.bool_)
 
         def step(c: NLSimState, _):
             s, nl = c.sim, c.nlist
@@ -280,8 +283,9 @@ class ShardedSimulation:
             # neighborList.c:236-243)
             dirty_local = nlmod.needs_rebuild(nl, r, n_local_boxes, skin)
             dirty = jax.lax.psum(dirty_local.astype(jnp.int32), axes) > 0
-            r, p, gid, n_atoms, nl = jax.lax.cond(
+            r, p, gid, n_atoms, nl, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
+            ovf = jax.lax.psum(ovf.astype(jnp.int32), axes) > 0
             f, e_pot = force(nl, r, n_atoms)
             f = f.astype(s.f.dtype)
             p = p + p.dtype.type(0.5 * dt) * f
@@ -290,7 +294,8 @@ class ShardedSimulation:
             return NLSimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
                              e_potential=e_pot,
-                             n_local=n_local.astype(jnp.int32)),
+                             n_local=n_local.astype(jnp.int32),
+                             overflow=s.overflow | ovf),
                 nlist=nl), ()
 
         return step
@@ -312,17 +317,18 @@ class ShardedSimulation:
 
         def rebuild(args):
             r, p, gid, n_atoms, _last = args
-            r1, p, gid, n_atoms, _nm, _ovf = binning.rebucket(
+            r1, p, gid, n_atoms, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, keep_halo=True)
-            r2, p, gid, n_atoms, _ovf2 = exchange.exchange_atoms(
+            r2, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
                 plan, geom, r1, p, gid, n_atoms)
             r2, p, gid = binning.sort_cells(r2, p, gid)
-            return r2, p, gid, n_atoms, r2, r1  # r_pre = post-rebucket
+            return r2, p, gid, n_atoms, r2, r1, ovf | ovf2
 
         def refresh(args):
             r, p, gid, n_atoms, last_r = args
             r2 = exchange.exchange_positions(plan, geom, r)
-            return r2, p, gid, n_atoms, last_r, r  # r_pre = pre-refresh
+            return (r2, p, gid, n_atoms, last_r, r,
+                    jnp.zeros((), jnp.bool_))
 
         def step(c: LazySimState, _):
             s = c.sim
@@ -331,8 +337,9 @@ class ShardedSimulation:
             dirty_local = nlmod.needs_rebuild(c.last_r, r, n_local_boxes,
                                               skin)
             dirty = jax.lax.psum(dirty_local.astype(jnp.int32), axes) > 0
-            r, p, gid, n_atoms, last_r, r_pre = jax.lax.cond(
+            r, p, gid, n_atoms, last_r, r_pre, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
+            ovf = jax.lax.psum(ovf.astype(jnp.int32), axes) > 0
             f_loc, e_pot = force(r, n_atoms, r_pre if use_async else None)
             f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
                 f_loc.astype(s.f.dtype))
@@ -342,7 +349,8 @@ class ShardedSimulation:
             return LazySimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
                              e_potential=e_pot,
-                             n_local=n_local.astype(jnp.int32)),
+                             n_local=n_local.astype(jnp.int32),
+                             overflow=s.overflow | ovf),
                 last_r=last_r), ()
 
         return step
@@ -358,7 +366,7 @@ class ShardedSimulation:
         # piggyback on _wrap: input SimState, output NLSimState
         spec = self._spec
         sim_specs = SimState(r=spec, p=spec, f=spec, gid=spec, n_atoms=spec,
-                             e_potential=P(), n_local=P())
+                             e_potential=P(), n_local=P(), overflow=P())
         nl_specs = nlmod.NeighborList(a_list=spec, a_valid=spec, nl=spec,
                                       last_r=spec)
 
@@ -502,6 +510,7 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
         n_atoms=jax.device_put(stack("n_atoms"), NamedSharding(mesh, spec)),
         e_potential=jnp.zeros((), cfg.jax_energy_dtype),
         n_local=jnp.asarray(n_global, jnp.int32),
+        overflow=jnp.zeros((), jnp.bool_),
     )
 
     sim = ShardedSimulation(

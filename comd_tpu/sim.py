@@ -44,6 +44,9 @@ class SimState:
     n_atoms: jax.Array    # [B] int32
     e_potential: jax.Array  # f64 scalar
     n_local: jax.Array    # int32 scalar: current locally-owned atom count
+    overflow: jax.Array   # bool scalar: any capacity overflow so far (cell
+                          # capacity or NL K; reference device-asserts
+                          # instead, gpu_redistribute.h:152)
 
 
 @jax.tree_util.register_dataclass
@@ -143,7 +146,7 @@ class Simulation:
             # drift
             r = state.r + r_dt(p)
             # redistribute: canonical (cell,gid) rebucket + PBC wrap
-            r_l, p_l, gid, n_atoms, _nmig, _ovf = binning.rebucket(
+            r_l, p_l, gid, n_atoms, _nmig, ovf = binning.rebucket(
                 geom, r, p, state.gid, state.n_atoms, wrap_extent=extent)
             # halo fill (serial periodic images)
             r_full, gid, n_atoms = binning.fill_halo_serial(
@@ -156,7 +159,8 @@ class Simulation:
             p = half_kick(p_l, f)
             n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
             new_state = SimState(r=r_full, p=p, f=f, gid=gid, n_atoms=n_atoms,
-                                 e_potential=e_pot, n_local=n_local)
+                                 e_potential=e_pot, n_local=n_local,
+                                 overflow=state.overflow | ovf)
             return new_state, ()
 
         def r_dt(p):
@@ -224,25 +228,25 @@ class Simulation:
 
         def rebuild(args):
             r, p, gid, n_atoms, _nl = args
-            r_l, p_l, gid2, n2, _nm, _ovf = binning.rebucket(
+            r_l, p_l, gid2, n2, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, wrap_extent=ext)
             r2, gid2, n2 = binning.fill_halo_serial(geom, r_l, gid2, n2)
-            nl, _ovf2 = nlmod.build(geom, r2, n2, **params)
-            return r2, p_l, gid2, n2, nl
+            nl, ovf2 = nlmod.build(geom, r2, n2, **params)
+            return r2, p_l, gid2, n2, nl, ovf | ovf2
 
         def refresh(args):
             r, p, gid, n_atoms, nl = args
             src = jnp.asarray(geom.halo_src)
             shift = jnp.asarray(geom.halo_shift, dtype=r.dtype)
             r = r.at[:, n_local_boxes:].set(r[:, src] + shift.T[:, :, None])
-            return r, p, gid, n_atoms, nl
+            return r, p, gid, n_atoms, nl, jnp.zeros((), jnp.bool_)
 
         def step(c: NLSimState, _):
             s, nl = c.sim, c.nlist
             p = s.p + s.p.dtype.type(0.5 * dt) * s.f
             r = s.r + p * p.dtype.type(dt * inv_mass)
             dirty = nlmod.needs_rebuild(nl, r, n_local_boxes, skin)
-            r, p, gid, n_atoms, nl = jax.lax.cond(
+            r, p, gid, n_atoms, nl, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
             f, e_pot = force(nl, r, n_atoms)
             f = f.astype(s.f.dtype)
@@ -250,7 +254,8 @@ class Simulation:
             n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
             return NLSimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
-                             e_potential=e_pot, n_local=n_local),
+                             e_potential=e_pot, n_local=n_local,
+                             overflow=s.overflow | ovf),
                 nlist=nl), ()
 
         return step
@@ -273,24 +278,24 @@ class Simulation:
 
         def rebuild(args):
             r, p, gid, n_atoms, _last = args
-            r_l, p_l, gid2, n2, _nm, _ovf = binning.rebucket(
+            r_l, p_l, gid2, n2, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, wrap_extent=ext)
             r2, gid2, n2 = binning.fill_halo_serial(geom, r_l, gid2, n2)
-            return r2, p_l, gid2, n2, r2
+            return r2, p_l, gid2, n2, r2, ovf
 
         def refresh(args):
             r, p, gid, n_atoms, last_r = args
             src = jnp.asarray(geom.halo_src)
             shift = jnp.asarray(geom.halo_shift, dtype=r.dtype)
             r = r.at[:, n_local_boxes:].set(r[:, src] + shift.T[:, :, None])
-            return r, p, gid, n_atoms, last_r
+            return r, p, gid, n_atoms, last_r, jnp.zeros((), jnp.bool_)
 
         def step(c: LazySimState, _):
             s = c.sim
             p = s.p + s.p.dtype.type(0.5 * dt) * s.f
             r = s.r + p * p.dtype.type(dt * inv_mass)
             dirty = nlmod.needs_rebuild(c.last_r, r, n_local_boxes, skin)
-            r, p, gid, n_atoms, last_r = jax.lax.cond(
+            r, p, gid, n_atoms, last_r, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
             f_loc, _u, e_pot = force(r, n_atoms)
             f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
@@ -299,7 +304,8 @@ class Simulation:
             n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
             return LazySimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
-                             e_potential=e_pot, n_local=n_local),
+                             e_potential=e_pot, n_local=n_local,
+                             overflow=s.overflow | ovf),
                 last_r=last_r), ()
 
         return step
@@ -466,6 +472,7 @@ def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,
         n_atoms=jnp.asarray(counts),
         e_potential=jnp.zeros((), dtype=e_dtype),
         n_local=jnp.asarray(len(gid), jnp.int32),
+        overflow=jnp.zeros((), jnp.bool_),
     )
 
 

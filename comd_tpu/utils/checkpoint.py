@@ -40,7 +40,7 @@ def save(path: str, sim, step: int) -> str:
     except Exception:
         arrays = {f: np.asarray(getattr(state, f))
                   for f in ("r", "p", "f", "gid", "n_atoms",
-                            "e_potential", "n_local")}
+                            "e_potential", "n_local", "overflow")}
         np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=1)
