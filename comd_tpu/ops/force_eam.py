@@ -28,13 +28,14 @@ from .sweep import cell_pair_sweep
 
 
 def _interp(table_dev, tab, rr):
-    return tables.interpolate(table_dev, tab.n, tab.x0, tab.inv_dx, rr)
+    """Quadratic interpolation via the row-stencil matrix (one gather/eval)."""
+    return tables.interpolate4(table_dev, tab.n, tab.x0, tab.inv_dx, rr)
 
 
 def make_evaluators(pot: EamPotential, dtype, spline: bool):
     """(eval_phi, eval_rho) shared by the cell-sweep and NL paths."""
-    phi_dev = pot.phi.values_device(dtype)
-    rho_dev = pot.rho.values_device(dtype)
+    phi_dev = pot.phi.stencil_device(dtype)
+    rho_dev = pot.rho.stencil_device(dtype)
 
     if spline:
         # n and values exactly as the reference call site
@@ -106,7 +107,7 @@ def eam_force(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.values_device(dtype)
+    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
@@ -157,7 +158,7 @@ def eam_force_nl(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.values_device(dtype)
+    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
 
     f1, (phi_rows, rho_rows) = nlmod.pair_sweep_nl(
@@ -222,7 +223,7 @@ def eam_force_split(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.values_device(dtype)
+    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
     pair1 = make_pair1(eval_phi, eval_rho)
     pair3 = make_pair3(eval_rho)
