@@ -3,10 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "atom-steps/sec/chip", "vs_baseline": N}
 
-vs_baseline is measured against the north-star 1e8 atom-steps/sec/chip
-(~100 atoms/us/chip, BASELINE.md) on ~1M-atom EAM Cu.  For context the
-reference's recorded 16-GPU 2016 cluster runs reached 1.16e8 atom-steps/s
-total (115.96 atoms/us, errors_sync_version/.../out16_80_3.txt).
+vs_baseline is against the north-star 1e8 atom-steps/sec/chip (~100
+atoms/us/chip, BASELINE.md) on ~1M-atom EAM Cu.  For context the reference's
+recorded 16-GPU 2016 cluster runs reached 1.16e8 atom-steps/s total
+(115.96 atoms/us, errors_sync_version/.../out16_80_3.txt).
+
+Timing method: the TPU relay in this environment makes one-off timings
+unreliable (see CLAUDE.md), so the rate comes from the difference between a
+long and a short scan block (fixed overheads cancel).  The benchmark walks a
+fallback chain of configs so a device fault on the big problem still yields
+a valid (smaller-problem) measurement.
 """
 from __future__ import annotations
 
@@ -15,57 +21,102 @@ import os
 import sys
 import time
 
-import jax
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    # size: ~1M atoms (64^3 unit cells * 4) on a real chip; fall back to a
-    # smaller problem on CPU so the script stays usable everywhere.
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    n_cells = int(os.environ.get("BENCH_CELLS", 64 if on_tpu else 12))
-    steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 5))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+def wait_healthy(max_tries=10):
+    import jax
+    import jax.numpy as jnp
+    for i in range(max_tries):
+        try:
+            x = jnp.ones((128, 128))
+            assert float((x @ x)[0, 0]) == 128.0
+            return True
+        except Exception as e:
+            log(f"[bench] TPU unhealthy ({type(e).__name__}), retry {i}...")
+            time.sleep(30)
+    return False
 
+
+def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
+            chunk: int):
     from comd_tpu import Config
     from comd_tpu.sim import init_simulation
 
     pots = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pots")
-    cfg = Config(nx=n_cells, ny=n_cells, nz=n_cells, doeam=True,
+    cfg = Config(nx=n_cells, ny=n_cells, nz=n_cells, doeam=doeam,
                  temperature=600.0, dtype=dtype, max_atoms=32,
-                 box_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
-                 pot_dir=pots)
+                 box_chunk=chunk, pot_dir=pots)
     t0 = time.time()
     sim = init_simulation(cfg)
-    init_s = time.time() - t0
+    log(f"[bench] init {n_cells}^3 {'EAM' if doeam else 'LJ'} "
+        f"atoms={sim.n_global} in {time.time()-t0:.1f}s")
 
-    # warmup + compile the exact block we measure (a different scan length
-    # would be a second compilation)
+    def run(k):
+        sim.step_block(k)
+        return float(sim.state.e_potential)
+
     t0 = time.time()
-    sim.step_block(steps)
-    sim.state.e_potential.block_until_ready()
-    compile_s = time.time() - t0
+    run(short)
+    run(long)
+    log(f"[bench] compiled+warm in {time.time()-t0:.1f}s")
 
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    t0 = time.time()
-    for _ in range(reps):
-        sim.step_block(steps)
-    sim.state.e_potential.block_until_ready()
-    wall = time.time() - t0
+    best = 1e30
+    for _ in range(3):
+        t0 = time.time()
+        run(short)
+        ts = time.time() - t0
+        t0 = time.time()
+        run(long)
+        tl = time.time() - t0
+        best = min(best, (tl - ts) / (long - short))
+    e_per_atom = sim.e_potential / sim.n_global
+    log(f"[bench] {best*1e3:.2f} ms/step  ePot/atom {e_per_atom:.6f}  "
+        f"atoms {sim.sum_atoms()}")
+    assert sim.sum_atoms() == sim.n_global, "atoms lost"
+    return sim.n_global, best
 
-    n = sim.n_global
-    rate = n * steps * reps / wall  # atom-steps/sec/chip
-    baseline = 1.0e8         # north-star atom-steps/sec/chip
+
+def main():
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    short = int(os.environ.get("BENCH_SHORT", 5))
+    long = int(os.environ.get("BENCH_LONG", 25))
+    forced = os.environ.get("BENCH_CELLS")
+
+    attempts = ([(int(forced), True)] if forced else
+                [(64, True), (48, True), (32, True), (32, False)])
+
+    n_atoms, per_step, label = None, None, None
+    for n_cells, doeam in attempts:
+        if not wait_healthy():
+            continue
+        try:
+            n_atoms, per_step = measure(n_cells, doeam, dtype, short, long,
+                                        chunk)
+            label = f"{n_atoms}-atom {'EAM Cu (funcfl)' if doeam else 'LJ'}"
+            break
+        except Exception as e:
+            log(f"[bench] {n_cells}^3 failed: {type(e).__name__}: "
+                f"{str(e)[:120]}")
+            time.sleep(30)
+
+    if per_step is None:
+        print(json.dumps({"metric": "atom-steps/sec/chip (bench failed)",
+                          "value": 0.0, "unit": "atom-steps/sec/chip",
+                          "vs_baseline": 0.0}))
+        return
+
+    rate = n_atoms / per_step
     print(json.dumps({
-        "metric": f"atom-steps/sec/chip, {n}-atom EAM Cu (funcfl), "
-                  f"{dtype}, velocity-Verlet incl. redistribution",
+        "metric": f"atom-steps/sec/chip, {label}, {dtype}, velocity-Verlet "
+                  f"incl. redistribution (marginal-block timing)",
         "value": rate,
         "unit": "atom-steps/sec/chip",
-        "vs_baseline": rate / baseline,
+        "vs_baseline": rate / 1.0e8,
     }))
-    print(f"# init {init_s:.1f}s  compile+2steps {compile_s:.1f}s  "
-          f"{steps} steps {wall:.2f}s  atoms {n}  "
-          f"ePot/atom {sim.e_potential / n:.9f}  "
-          f"atoms/us {rate / 1e6:.2f}", file=sys.stderr)
 
 
 if __name__ == "__main__":
