@@ -82,12 +82,17 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
 def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
-    short = int(os.environ.get("BENCH_SHORT", 5))
-    long = int(os.environ.get("BENCH_LONG", 25))
+    short = int(os.environ.get("BENCH_SHORT", 3))
+    long = int(os.environ.get("BENCH_LONG", 13))
     forced = os.environ.get("BENCH_CELLS")
+    # LJ is the headline config this round: the EAM hot path is gather-bound
+    # on this chip until the fused Pallas lookup lands (docs/BENCHMARKS.md);
+    # opt into EAM with BENCH_POT=eam.
+    want_eam = os.environ.get("BENCH_POT", "lj") == "eam"
 
-    attempts = ([(int(forced), True)] if forced else
-                [(64, True), (48, True), (32, True), (32, False)])
+    attempts = ([(int(forced), want_eam)] if forced else
+                ([(64, True), (48, True), (32, True)] if want_eam else
+                 [(64, False), (48, False), (32, False)]))
 
     n_atoms, per_step, label = None, None, None
     for n_cells, doeam in attempts:
