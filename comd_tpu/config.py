@@ -70,6 +70,10 @@ class Config:
     dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
     energy_dtype: str = "float64"
     box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
+    interp_impl: str = "auto"   # EAM table lookup: "rows" (exact gathers),
+                                # "twolevel" (gather-free one-hot matmul,
+                                # ~40x faster on TPU, <=1 ulp), "auto" =
+                                # twolevel for f32 dynamics, rows for f64
     lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
                                 # rebucket only on the skin/2 trigger instead
                                 # of every step (strictly faster than the
@@ -97,6 +101,12 @@ class Config:
     @property
     def use_nl(self) -> bool:
         return self.method in ("thread_atom_nl", "warp_atom_nl", "cpu_nl")
+
+    @property
+    def resolved_interp_impl(self) -> str:
+        if self.interp_impl != "auto":
+            return self.interp_impl
+        return "twolevel" if self.dtype == "float32" else "rows"
 
     @property
     def jax_dtype(self):

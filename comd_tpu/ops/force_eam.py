@@ -32,8 +32,38 @@ def _interp(table_dev, tab, rr):
     return tables.interpolate4(table_dev, tab.n, tab.x0, tab.inv_dx, rr)
 
 
-def make_evaluators(pot: EamPotential, dtype, spline: bool):
-    """(eval_phi, eval_rho) shared by the cell-sweep and NL paths."""
+def make_evaluators(pot: EamPotential, dtype, spline: bool,
+                    impl: str = "rows"):
+    """(eval_phi, eval_rho) shared by the cell-sweep and NL paths.
+
+    impl='rows' uses exact row-stencil gathers (slow on TPU, exact anywhere);
+    impl='twolevel' uses the gather-free one-hot-matmul lookup (~40x faster
+    on TPU, <=1 ulp difference; see tables.interpolate_twolevel).
+    """
+    if impl == "twolevel" and not spline:
+        T2np, nb = tables.pack_twolevel([pot.phi, pot.rho], block_rows=8)
+        T2 = jnp.asarray(T2np, dtype=dtype)
+        tab = pot.phi
+
+        def eval_both(rr):
+            (phi, dphi), (rho, drho) = tables.interpolate_twolevel(
+                T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr)
+            return phi, dphi, rho, drho
+
+        # the fused call evaluates both tables; phi/rho wrappers share it
+        # via pair_fn-level fusion below (make_pair1 calls eval_phi then
+        # eval_rho -- XLA CSEs the identical fused fetch, so the matmul
+        # runs once).
+        def eval_phi(r2, rr):
+            phi, dphi, _, _ = eval_both(rr)
+            return phi, dphi
+
+        def eval_rho(r2, rr):
+            _, _, rho, drho = eval_both(rr)
+            return rho, drho
+
+        return eval_phi, eval_rho
+
     phi_dev = pot.phi.stencil_device(dtype)
     rho_dev = pot.rho.stencil_device(dtype)
 
@@ -102,13 +132,14 @@ def eam_force(
     spline: bool = False,
     chunk: int = 256,
     e_dtype=jnp.float64,
+    interp_impl: str = "rows",
 ):
     """Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A])."""
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
     f_dev = pot.f.stencil_device(dtype)
-    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
     pair1 = make_pair1(eval_phi, eval_rho)
@@ -147,6 +178,7 @@ def eam_force_nl(
     spline: bool = False,
     chunk: int = 2048,
     e_dtype=jnp.float64,
+    interp_impl: str = "rows",
 ):
     """EAM via Verlet neighbor list (thread_atom_nl / warp_atom_nl analog).
 
@@ -159,7 +191,7 @@ def eam_force_nl(
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
     f_dev = pot.f.stencil_device(dtype)
-    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
 
     f1, (phi_rows, rho_rows) = nlmod.pair_sweep_nl(
         nlist, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
@@ -208,6 +240,7 @@ def eam_force_split(
     spline: bool = False,
     chunk: int = 256,
     e_dtype=jnp.float64,
+    interp_impl: str = "rows",
 ):
     """EAM force with the interior/boundary split (the gpuAsync capability).
 
@@ -224,7 +257,7 @@ def eam_force_split(
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
     f_dev = pot.f.stencil_device(dtype)
-    eval_phi, eval_rho = make_evaluators(pot, dtype, spline)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     pair1 = make_pair1(eval_phi, eval_rho)
     pair3 = make_pair3(eval_rho)
     r_pre = r if r_pre is None else r_pre

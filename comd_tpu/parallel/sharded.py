@@ -121,7 +121,8 @@ class ShardedSimulation:
                     f_loc, u_raw, _dfe = force_eam.eam_force_split(
                         geom, pot, r, fill, interior, boundary,
                         r_pre=r_pre, spline=cfg.spline, chunk=chunk,
-                        e_dtype=e_dtype)
+                        e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
@@ -241,7 +242,7 @@ class ShardedSimulation:
                 fill = functools.partial(exchange.exchange_scalar, plan, geom)
                 f_full, e_pot, _dfe = force_eam.eam_force_nl(
                     nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype)
+                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
                 return f_full, e_pot
         else:
             def force(nlist, r, n_atoms):

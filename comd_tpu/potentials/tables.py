@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,6 +103,79 @@ def interpolate4(stencil, n: int, x0: float, inv_dx: float, r):
     f = t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0))
     df = 0.5 * (g1 + frac * (g2 - g1)) * inv_dx
     return f, df
+
+
+def pack_twolevel(tabs: list["InterpTable"], block_rows: int = 8):
+    """Pack one or more same-grid tables into the two-level lookup matrix.
+
+    T2[nb, block_rows * 4 * len(tabs)]: block b, row j holds the 4-point
+    stencils of entry ii = b*block_rows + j for every table, concatenated.
+    Rows past n clamp to the last entry (frac is 0 there, values unused).
+    """
+    n = tabs[0].n
+    assert all(t.n == n and t.inv_dx == tabs[0].inv_dx for t in tabs)
+    nb = -(-(n + 1) // block_rows)
+    width = 4 * len(tabs)
+    out = np.zeros((nb, block_rows * width), dtype=np.float64)
+    for b in range(nb):
+        for j in range(block_rows):
+            ii = min(b * block_rows + j, n)
+            for t, tab in enumerate(tabs):
+                pad4 = np.concatenate([tab.padded, tab.padded[-1:]])
+                out[b, j * width + 4 * t: j * width + 4 * t + 4] = \
+                    pad4[ii:ii + 4]
+    return out, nb
+
+
+def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
+                         n: int, x0: float, inv_dx: float, r):
+    """Gather-free quadratic interpolation: two-level one-hot lookup.
+
+    Per-element table gathers run at ~0.2 G/s on TPU via XLA; this
+    formulation fetches the whole candidate block with a one-hot matmul on
+    the MXU (~9.5 G-lookups/s measured on v5e, docs/BENCHMARKS.md) and
+    selects the row with a mask-weighted sum -- no gathers anywhere.
+    Requires precision=HIGHEST so the f32 table values survive the MXU's
+    bf16 passes (one-hot entries are exact in any precision).
+
+    Returns a list of (f, df) per packed table.  Same numerics as
+    interpolate() up to <=1 ulp from the matmul reconstruction.
+    """
+    dtype = T2.dtype
+    r = jnp.maximum(r, x0)
+    rr = (r - x0) * inv_dx
+    ii = jnp.floor(rr).astype(jnp.int32)
+    over = ii > n
+    ii = jnp.minimum(ii, n)
+    frac = jnp.where(over, 0.0, rr - jnp.floor(rr)).astype(dtype)
+
+    shape = ii.shape
+    iif = ii.reshape(-1)
+    hi = iif // block_rows
+    lo = iif - hi * block_rows
+    width = 4 * n_tabs
+
+    oh = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+          ).astype(dtype)
+    fetched = jax.lax.dot(oh, T2, precision=jax.lax.Precision.HIGHEST)
+    sel = (lo[:, None] == jnp.arange(block_rows,
+                                     dtype=jnp.int32)[None, :]).astype(dtype)
+    vals = jnp.sum(fetched.reshape(-1, block_rows, width) * sel[:, :, None],
+                   axis=1)                       # [N, 4*n_tabs]
+
+    frac_f = frac.reshape(-1)
+    outs = []
+    for t in range(n_tabs):
+        tm1 = vals[:, 4 * t + 0]
+        t0 = vals[:, 4 * t + 1]
+        t1 = vals[:, 4 * t + 2]
+        t2 = vals[:, 4 * t + 3]
+        g1 = t1 - tm1
+        g2 = t2 - t0
+        f = t0 + 0.5 * frac_f * (g1 + frac_f * (t1 + tm1 - 2.0 * t0))
+        df = 0.5 * (g1 + frac_f * (g2 - g1)) * inv_dx
+        outs.append((f.reshape(shape), df.reshape(shape)))
+    return outs
 
 
 @dataclasses.dataclass(frozen=True)

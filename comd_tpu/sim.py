@@ -112,7 +112,7 @@ class Simulation:
                 fill = functools.partial(binning.fill_halo_scalar_serial, geom)
                 f_loc, u_raw, _dfe = force_eam.eam_force(
                     geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype)
+                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
@@ -190,7 +190,7 @@ class Simulation:
                 fill = functools.partial(binning.fill_halo_scalar_serial, geom)
                 f_full, e_pot, _dfe = force_eam.eam_force_nl(
                     nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype)
+                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
                 return f_full, e_pot
         else:
             def force(nlist, r, n_atoms):
