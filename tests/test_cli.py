@@ -1,0 +1,65 @@
+"""End-to-end CLI runs (subprocess) and the driver entry contract."""
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+
+def run_cli(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "comd_tpu.cli", *args],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=timeout)
+
+
+def test_cli_lj_run():
+    out = run_cli("-x", "4", "-y", "4", "-z", "4", "-N", "4", "-n", "2",
+                  "--maxAtoms", "48", "--boxChunk", "16")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "no atoms lost" in out.stdout
+    assert "eFinal/eInitial" in out.stdout
+    assert "Average atom rate" in out.stdout
+
+
+def test_cli_yaml_report(tmp_path):
+    out = run_cli("-x", "4", "-y", "4", "-z", "4", "-N", "2", "-n", "2",
+                  "--maxAtoms", "48", "--boxChunk", "16",
+                  "--yaml", str(tmp_path))
+    assert out.returncode == 0, out.stderr[-2000:]
+    files = list(tmp_path.glob("*.yaml"))
+    assert len(files) == 1
+    text = files[0].read_text()
+    assert "Decomposition data" in text and "Potential data" in text
+
+
+def test_cli_bad_method_clean_error():
+    out = run_cli("-m", "nonsense")
+    assert out.returncode == 1
+    assert "Fatal Error" in out.stderr
+    assert "Traceback" not in out.stderr
+
+
+def test_graft_entry_single_chip():
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; import jax; "
+         "fn, args = g.entry(); s = jax.jit(fn)(*args); "
+         "print('OK', float(s.e_potential))"],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+
+
+def test_graft_dryrun_multichip():
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
