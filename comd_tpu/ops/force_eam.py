@@ -50,10 +50,6 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
                 T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr)
             return phi, dphi, rho, drho
 
-        # the fused call evaluates both tables; phi/rho wrappers share it
-        # via pair_fn-level fusion below (make_pair1 calls eval_phi then
-        # eval_rho -- XLA CSEs the identical fused fetch, so the matmul
-        # runs once).
         def eval_phi(r2, rr):
             phi, dphi, _, _ = eval_both(rr)
             return phi, dphi
@@ -62,6 +58,9 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
             _, _, rho, drho = eval_both(rr)
             return rho, drho
 
+        # make_pair1 uses the fused fetch directly (one matmul for both
+        # tables) instead of relying on CSE across the two wrappers
+        eval_phi.fused = eval_both
         return eval_phi, eval_rho
 
     phi_dev = pot.phi.stencil_device(dtype)
@@ -100,10 +99,15 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
 
 def make_pair1(eval_phi, eval_rho):
     """Pass-1 per-pair physics: phi energy, rho accumulation, pair force."""
+    fused = getattr(eval_phi, "fused", None)
+
     def pair1(r2, mask, sj, si):
         rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
-        phi, dphi = eval_phi(r2, rr)
-        rho, _ = eval_rho(r2, rr)
+        if fused is not None:
+            phi, dphi, rho, _ = fused(rr)
+        else:
+            phi, dphi = eval_phi(r2, rr)
+            rho, _ = eval_rho(r2, rr)
         phi = jnp.where(mask, phi, 0.0)
         rho = jnp.where(mask, rho, 0.0)
         fcoef = jnp.where(mask, -dphi / rr, 0.0)  # f_i -= dPhi * dr/r
