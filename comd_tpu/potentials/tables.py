@@ -115,6 +115,8 @@ def pack_twolevel(tabs: list["InterpTable"], block_rows: int = 8):
     n = tabs[0].n
     assert all(t.n == n and t.inv_dx == tabs[0].inv_dx for t in tabs)
     nb = -(-(n + 1) // block_rows)
+    nb = -(-nb // 8) * 8  # pad the block axis to a sublane multiple: odd
+    # nb (e.g. 63) breaks the one-hot/matmul fusion and costs ~7x
     width = 4 * len(tabs)
     out = np.zeros((nb, block_rows * width), dtype=np.float64)
     for b in range(nb):
@@ -143,51 +145,61 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
     interpolate() up to <=1 ulp from the matmul reconstruction.
     """
     dtype = T2.dtype
-    r = jnp.maximum(r, x0)
-    rr = (r - x0) * inv_dx
-    ii = jnp.floor(rr).astype(jnp.int32)
-    over = ii > n
-    ii = jnp.minimum(ii, n)
-    frac = jnp.where(over, 0.0, rr - jnp.floor(rr)).astype(dtype)
-
-    shape = ii.shape
-    iif = ii.reshape(-1)
+    shape = jnp.shape(r)
     width = 4 * n_tabs
 
-    # Batch internally: XLA fuses the one-hot generation and the row-select
-    # epilogue around the matmul for small per-iteration batches (measured
-    # 9.5 G-lookups/s at 4096 rows on v5e); a single huge [N, nb] one-hot
-    # would round-trip HBM instead.
-    N = iif.shape[0]
+    # Batch internally and do ALL the work (index math, one-hot, matmul,
+    # row-select, quadratic combine) inside the map body: XLA then fuses
+    # everything around the matmul and only the final (f, df) arrays touch
+    # HBM (measured ~9.5 G-lookups/s at 4096-row bodies on v5e; any
+    # intermediate [N, nb] or [N, width] array round-trips HBM and costs
+    # 10x).
+    rf = jnp.reshape(r, (-1,))
+    N = rf.shape[0]
     nbat = -(-N // batch)
     pad = nbat * batch - N
-    iib = jnp.pad(iif, (0, pad)).reshape(nbat, batch)
+    rb = jnp.pad(rf, (0, pad)).reshape(nbat, batch)
 
-    def body(ii_b):
-        hi = ii_b // block_rows
-        lo = ii_b - hi * block_rows
+    def body(r_b):
+        r_b = jnp.maximum(r_b, x0)
+        rr = (r_b - x0) * inv_dx
+        ii = jnp.floor(rr).astype(jnp.int32)
+        over = ii > n
+        ii = jnp.minimum(ii, n)
+        frac = jnp.where(over, 0.0, rr - jnp.floor(rr)).astype(dtype)
+
+        # power-of-two block_rows: shift/mask instead of div/mod (integer
+        # division lowers expensively on the VPU)
+        assert block_rows & (block_rows - 1) == 0
+        shift = block_rows.bit_length() - 1
+        hi = ii >> shift
+        lo = ii & (block_rows - 1)
         oh = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
               ).astype(dtype)
         fetched = jax.lax.dot(oh, T2, precision=jax.lax.Precision.HIGHEST)
         sel = (lo[:, None] == jnp.arange(
             block_rows, dtype=jnp.int32)[None, :]).astype(dtype)
-        return jnp.sum(
+        vals = jnp.sum(
             fetched.reshape(-1, block_rows, width) * sel[:, :, None], axis=1)
 
-    vals = jax.lax.map(body, iib).reshape(nbat * batch, width)[:N]
+        outs = []
+        for t in range(n_tabs):
+            tm1 = vals[:, 4 * t + 0]
+            t0 = vals[:, 4 * t + 1]
+            t1 = vals[:, 4 * t + 2]
+            t2 = vals[:, 4 * t + 3]
+            g1 = t1 - tm1
+            g2 = t2 - t0
+            outs.append(t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0)))
+            outs.append(0.5 * (g1 + frac * (g2 - g1)) * inv_dx)
+        return tuple(outs)
 
-    frac_f = frac.reshape(-1)
+    flat_outs = jax.lax.map(body, rb)   # each [nbat, batch]
     outs = []
     for t in range(n_tabs):
-        tm1 = vals[:, 4 * t + 0]
-        t0 = vals[:, 4 * t + 1]
-        t1 = vals[:, 4 * t + 2]
-        t2 = vals[:, 4 * t + 3]
-        g1 = t1 - tm1
-        g2 = t2 - t0
-        f = t0 + 0.5 * frac_f * (g1 + frac_f * (t1 + tm1 - 2.0 * t0))
-        df = 0.5 * (g1 + frac_f * (g2 - g1)) * inv_dx
-        outs.append((f.reshape(shape), df.reshape(shape)))
+        f = flat_outs[2 * t].reshape(-1)[:N].reshape(shape)
+        df = flat_outs[2 * t + 1].reshape(-1)[:N].reshape(shape)
+        outs.append((f, df))
     return outs
 
 
