@@ -40,20 +40,27 @@ def _kernel(r_ref, fx_ref, fy_ref, fz_ref, u_ref, win, sem, *,
     n_sub = C // sb
 
     def body(k, _):
-        b0 = k * sb
+        b0 = k * jnp.int32(sb)  # keep i32: x64 mode would make sb an i64
         # i-atoms for this sub-block: [sb*A] -> compute per box below
         for s in range(sb):
-            b = b0 + s
+            b = b0 + jnp.int32(s)
             xi = win[0, pad + b, :]          # [A]
             yi = win[1, pad + b, :]
             zi = win[2, pad + b, :]
-            # neighbor slab: 27 static shifted rows -> [A, 27A] pair block
+            # neighbor slab: the 27 offsets form 9 groups of 3 contiguous
+            # rows (dx in -1..1 for fixed dy,dz; dense x is stride 1), so
+            # read 9 contiguous [3, A] slices -> [A, 27A] pair block.
+            # offsets[0:9] are the dx=-1 entries, i.e. each group's base.
+            groups = [offsets[g] for g in range(9)]
             xj = jnp.concatenate(
-                [win[0, pad + b + d, :] for d in offsets])   # [27A]
+                [win[0, pl.ds(pad + b + d, 3), :].reshape(-1)
+                 for d in groups])           # [27A]
             yj = jnp.concatenate(
-                [win[1, pad + b + d, :] for d in offsets])
+                [win[1, pl.ds(pad + b + d, 3), :].reshape(-1)
+                 for d in groups])
             zj = jnp.concatenate(
-                [win[2, pad + b + d, :] for d in offsets])
+                [win[2, pl.ds(pad + b + d, 3), :].reshape(-1)
+                 for d in groups])
             dx = xi[:, None] - xj[None, :]
             dy = yi[:, None] - yj[None, :]
             dz = zi[:, None] - zj[None, :]
@@ -93,6 +100,11 @@ def lj_force_pallas(geom: CellGeometry, pot, r, *, chunk: int = 256,
     sent_l = jnp.full((3, pad, A), dtype.type(1.0e10), dtype)
     sent_r = jnp.full((3, total - pad - D, A), dtype.type(1.0e10), dtype)
     rp = jnp.concatenate([sent_l, rd, sent_r], axis=1)
+
+    import sys
+    if sys.getrecursionlimit() < 10000:
+        sys.setrecursionlimit(10000)  # Mosaic lowering recurses over the
+        # unrolled kernel body and trips the default 1000 limit
 
     offsets = tuple(int(d) for d in flat_offsets)
     kern = functools.partial(
