@@ -74,9 +74,11 @@ def _kernel(r_ref, fx_ref, fy_ref, fz_ref, u_ref, win, sem, *,
             fy_ref[b, :] = jnp.sum(fc * dy, axis=-1)
             fz_ref[b, :] = jnp.sum(fc * dz, axis=-1)
             u_ref[b, :] = jnp.sum(e, axis=-1)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, n_sub, body, 0)
+    # i32 bounds: under jax_enable_x64 python-int bounds make the loop index
+    # i64, and Mosaic's i64->i32 conversion recurses infinitely
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_sub), body, jnp.int32(0))
 
 
 def lj_force_pallas(geom: CellGeometry, pot, r, *, chunk: int = 256,
