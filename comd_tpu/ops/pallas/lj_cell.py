@@ -47,20 +47,15 @@ def _kernel(r_ref, fx_ref, fy_ref, fz_ref, u_ref, win, sem, *,
             xi = win[0, pad + b, :]          # [A]
             yi = win[1, pad + b, :]
             zi = win[2, pad + b, :]
-            # neighbor slab: the 27 offsets form 9 groups of 3 contiguous
-            # rows (dx in -1..1 for fixed dy,dz; dense x is stride 1), so
-            # read 9 contiguous [3, A] slices -> [A, 27A] pair block.
-            # offsets[0:9] are the dx=-1 entries, i.e. each group's base.
-            groups = [offsets[g] for g in range(9)]
+            # neighbor slab: 27 shifted row reads -> [A, 27A] pair block
+            # (a [3, A] -> [3A] reshape would be cheaper but Mosaic rejects
+            # that shape cast on this generation)
             xj = jnp.concatenate(
-                [win[0, pl.ds(pad + b + d, 3), :].reshape(-1)
-                 for d in groups])           # [27A]
+                [win[0, pad + b + d, :] for d in offsets])   # [27A]
             yj = jnp.concatenate(
-                [win[1, pl.ds(pad + b + d, 3), :].reshape(-1)
-                 for d in groups])
+                [win[1, pad + b + d, :] for d in offsets])
             zj = jnp.concatenate(
-                [win[2, pl.ds(pad + b + d, 3), :].reshape(-1)
-                 for d in groups])
+                [win[2, pad + b + d, :] for d in offsets])
             dx = xi[:, None] - xj[None, :]
             dy = yi[:, None] - yj[None, :]
             dz = zi[:, None] - zj[None, :]
