@@ -119,15 +119,18 @@ class Simulation:
                 valid = slot < n_atoms[:geom.n_local, None]
                 u, e_pot = force_eam.finalize_eam_energy(u_raw, valid, e_dtype)
                 return f_loc, u, e_pot
-        elif cfg.method == "cta_cell" and not cfg.lj_interpolation:
-            # Pallas kernel (VMEM-staged cell windows); interpreted on CPU
+        elif (cfg.method == "cta_cell" and not cfg.lj_interpolation
+              and jax.default_backend() == "cpu"):
+            # Pallas kernel (VMEM-staged cell windows), interpret mode.
+            # On this TPU generation Mosaic rejects the kernel's dynamic
+            # sub-tile row reads ("input offsets outside of the first
+            # tile"); until the kernel is retiled, cta_cell on TPU falls
+            # through to the XLA sweep below (same physics, same results).
             from .ops.pallas.lj_cell import lj_force_pallas
-            interp_mode = jax.default_backend() == "cpu"
 
             def force(r, n_atoms):
                 return lj_force_pallas(geom, pot, r, chunk=chunk,
-                                       e_dtype=e_dtype,
-                                       interpret=interp_mode)
+                                       e_dtype=e_dtype, interpret=True)
         else:
             lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
                      else force_lj.lj_force)
