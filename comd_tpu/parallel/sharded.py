@@ -126,7 +126,8 @@ class ShardedSimulation:
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                        e_dtype=e_dtype)
+                        e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl)
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
@@ -360,8 +361,11 @@ class ShardedSimulation:
         params = self._nl_build_params()
 
         def build_fn(state: SimState, _):
-            nl, _ovf = nlmod.build(self.geom, state.r, state.n_atoms,
-                                   **params)
+            nl, ovf = nlmod.build(self.geom, state.r, state.n_atoms,
+                                  **params)
+            ovf = jax.lax.psum(ovf.astype(jnp.int32), ("x", "y", "z")) > 0
+            state = dataclasses.replace(state,
+                                        overflow=state.overflow | ovf)
             return NLSimState(sim=state, nlist=nl), ()
 
         # piggyback on _wrap: input SimState, output NLSimState
@@ -380,7 +384,7 @@ class ShardedSimulation:
             out_specs=NLSimState(sim=sim_specs, nlist=nl_specs),
             check_vma=False))
         out = fn(self.state)
-        self.nlist = out.nlist
+        self.state, self.nlist = out.sim, out.nlist
 
     # ---------------- public interface ----------------
 
@@ -469,8 +473,13 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
     pgrid = np.array([cfg.xproc, cfg.yproc, cfg.zproc])
     local_extent = global_extent / pgrid
 
-    skin = (pot.cutoff * cfg.relative_skin_distance
-            if (cfg.use_nl or cfg.use_pairlist) else 0.0)
+    # the lazy-shell path (default) also needs the skin folded into the cell
+    # size: cells sized to cutoff alone would let atoms drift out of the
+    # 27-neighborhood between skin/2-triggered rebuilds (same condition as
+    # the serial init, sim.py init_simulation)
+    use_skin = (cfg.use_nl or cfg.use_pairlist
+                or (cfg.lazy_shell and cfg.relative_skin_distance > 0))
+    skin = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
     # per-shard geometry in the shard-local frame [0, local_extent)
     geom = cells.make_geometry(np.zeros(3), local_extent, pot.cutoff + skin,
                                use_hilbert=cfg.do_hilbert)

@@ -224,9 +224,12 @@ class Simulation:
         @jax.jit
         def build(state: SimState):
             nl, ovf = nlmod.build(self.geom, state.r, state.n_atoms, **params)
-            return nl
+            # surface an undersized-K truncation at t=0 (a short run would
+            # otherwise never hit the skin-triggered rebuild that flags it)
+            return nl, dataclasses.replace(state,
+                                           overflow=state.overflow | ovf)
 
-        self.nlist = build(self.state)
+        self.nlist, self.state = build(self.state)
 
     def _make_step_nl(self):
         cfg, geom = self.cfg, self.geom

@@ -5,9 +5,12 @@ been removed", CoMD.c:1147-1152); long production runs are a stated use case
 (CoMD.c:799-806), so the TPU rebuild adds it.  Orbax handles sharded arrays
 natively when available; a plain .npz fallback covers single-host states.
 
-The checkpoint captures the exact dynamical state (r, p, f, gid, n_atoms) --
-restart continues the trajectory bit-for-bit, because the state layout is
-canonical and the step function is deterministic.
+The checkpoint captures the exact dynamical state (r, p, f, gid, n_atoms)
+plus the lazy-shell rebucket baseline (last_r) -- restart continues the
+trajectory bit-for-bit on the cell paths, because the state layout is
+canonical and the step function is deterministic.  The NL path rebuilds its
+Verlet list from the restored positions (same pairs within cutoff, possibly
+different summation order -> trajectories match to fp tolerance).
 """
 from __future__ import annotations
 
@@ -18,29 +21,37 @@ import os
 import jax
 import numpy as np
 
+_FIELDS = ("r", "p", "f", "gid", "n_atoms", "e_potential", "n_local",
+           "overflow")
+
+
+def _state_dict(sim) -> dict:
+    d = {f: np.asarray(getattr(sim.state, f)) for f in _FIELDS}
+    last_r = getattr(sim, "last_r", None)
+    if last_r is not None:
+        d["last_r"] = np.asarray(last_r)
+    return d
+
 
 def save(path: str, sim, step: int) -> str:
     """Save a Simulation/ShardedSimulation state.  Returns the path."""
     os.makedirs(path, exist_ok=True)
-    state = sim.state
+    arrays = _state_dict(sim)
     meta = {
         "step": step,
         "config": dataclasses.asdict(sim.cfg),
         "n_global": sim.n_global,
+        "has_last_r": "last_r" in arrays,
         "format": "npz",
     }
     try:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(os.path.abspath(path), "state"),
-                   jax.tree.map(np.asarray, dataclasses.asdict(state)),
+        ckptr.save(os.path.join(os.path.abspath(path), "state"), arrays,
                    force=True)
         ckptr.wait_until_finished()
         meta["format"] = "orbax"
     except Exception:
-        arrays = {f: np.asarray(getattr(state, f))
-                  for f in ("r", "p", "f", "gid", "n_atoms",
-                            "e_potential", "n_local", "overflow")}
         np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -49,6 +60,7 @@ def save(path: str, sim, step: int) -> str:
 
 def load(path: str):
     """Returns (Simulation, step) resumed from a checkpoint directory."""
+    import jax.numpy as jnp
     from ..config import Config
     from ..sim import SimState, init_simulation
 
@@ -62,15 +74,45 @@ def load(path: str):
     if meta["format"] == "orbax":
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        tpl = jax.tree.map(np.asarray, dataclasses.asdict(sim.state))
+        tpl = _state_dict(sim)
+        if meta.get("has_last_r") and "last_r" not in tpl:
+            tpl["last_r"] = tpl["r"]
         data = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
                              tpl)
     else:
         with np.load(os.path.join(path, "state.npz")) as z:
             data = {k: z[k] for k in z.files}
 
-    import jax.numpy as jnp
-    sim.state = SimState(**{k: jnp.asarray(v) for k, v in data.items()})
+    last_r = data.pop("last_r", None)
+    mesh = getattr(sim, "mesh", None)
+    if mesh is not None:
+        # sharded restore: re-apply the mesh sharding the step functions
+        # expect (leading [Px,Py,Pz] block dims over ('x','y','z'))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P("x", "y", "z"))
+        rep = NamedSharding(mesh, P())
+
+        def put(name, v):
+            v = jnp.asarray(v)
+            return jax.device_put(
+                v, rep if name in ("e_potential", "n_local", "overflow")
+                else shard)
+
+        sim.state = SimState(**{k: put(k, v) for k, v in data.items()})
+        if last_r is not None:
+            sim.last_r = jax.device_put(jnp.asarray(last_r), shard)
+    else:
+        sim.state = SimState(**{k: jnp.asarray(v) for k, v in data.items()})
+        if last_r is not None:
+            sim.last_r = jnp.asarray(last_r)
+    if last_r is None and getattr(sim, "uses_lazy", False):
+        # legacy checkpoint without the baseline: the restored positions may
+        # already be up to skin/2 from the true rebucket layout, so seeding
+        # last_r from them would permit a full skin of drift.  Clear the
+        # baseline and force an immediate rebucket by leaving last_r at the
+        # sentinel (far) coordinates of a fresh state.
+        sim.last_r = jax.tree.map(
+            lambda x: jnp.full_like(x, 1.0e10), sim.state.r)
     if getattr(sim, "uses_nl", False):
         sim.build_neighbor_list()
     return sim, meta["step"]
