@@ -72,8 +72,11 @@ class Config:
     box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
     interp_impl: str = "auto"   # EAM table lookup: "rows" (exact gathers),
                                 # "twolevel" (gather-free one-hot matmul,
-                                # ~40x faster on TPU, <=1 ulp), "auto" =
-                                # twolevel for f32 dynamics, rows for f64
+                                # ~40x faster on TPU, <=1 ulp), "cheb"
+                                # (Chebyshev-in-r^2 FMA chain, no memory
+                                # access at all, ~3e-6/3e-4 rel value/force
+                                # vs the reference interpolant), "auto" =
+                                # cheb for f32 dynamics, rows for f64
     lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
                                 # rebucket only on the skin/2 trigger instead
                                 # of every step (strictly faster than the
@@ -106,7 +109,7 @@ class Config:
     def resolved_interp_impl(self) -> str:
         if self.interp_impl != "auto":
             return self.interp_impl
-        return "twolevel" if self.dtype == "float32" else "rows"
+        return "cheb" if self.dtype == "float32" else "rows"
 
     @property
     def jax_dtype(self):

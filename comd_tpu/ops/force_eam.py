@@ -40,6 +40,23 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
     impl='twolevel' uses the gather-free one-hot-matmul lookup (~40x faster
     on TPU, <=1 ulp difference; see tables.interpolate_twolevel).
     """
+    if impl == "cheb" and not spline:
+        # gather-free FMA-chain lookup (tables.ChebTable); coefficients are
+        # trace-time constants, so the evaluators compile into pure VPU
+        # arithmetic with zero memory operands -- the fastest TPU path.
+        phi_c = pot.cheb_phi
+        rho_c = pot.cheb_rho
+
+        def eval_phi(r2, rr):
+            return tables.interpolate_cheb(
+                phi_c.coef, phi_c.dcoef, phi_c.u_lo, phi_c.u_hi, r2, rr)
+
+        def eval_rho(r2, rr):
+            return tables.interpolate_cheb(
+                rho_c.coef, rho_c.dcoef, rho_c.u_lo, rho_c.u_hi, r2, rr)
+
+        return eval_phi, eval_rho
+
     if impl == "twolevel" and not spline:
         T2np, nb = tables.pack_twolevel([pot.phi, pot.rho], block_rows=8)
         T2 = jnp.asarray(T2np, dtype=dtype)

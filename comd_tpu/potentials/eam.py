@@ -12,6 +12,7 @@ eam.c:44-86) lives in ops/force_eam.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import numpy as np
@@ -31,6 +32,21 @@ class EamPotential:
     phi: InterpTable     # pair potential phi(r)
     rho: InterpTable     # electron density rho(r)
     f: InterpTable       # embedding energy F(rhobar)
+
+    # Chebyshev-in-r^2 fit range for the gather-free fast path (interp_impl
+    # 'cheb').  r < CHEB_R_LO clamps (constant energy, repulsive force) --
+    # 2.0 A is 6+ thermal sigma below the Cu nearest-neighbor distance.
+    CHEB_R_LO = 2.0
+
+    @functools.cached_property
+    def cheb_phi(self):
+        from .tables import make_cheb
+        return make_cheb(self.phi, self.CHEB_R_LO, self.cutoff)
+
+    @functools.cached_property
+    def cheb_rho(self):
+        from .tables import make_cheb
+        return make_cheb(self.rho, self.CHEB_R_LO, self.cutoff)
 
     def describe(self) -> list[tuple[str, str]]:
         return [

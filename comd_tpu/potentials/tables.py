@@ -204,6 +204,105 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
 
 
 @dataclasses.dataclass(frozen=True)
+class ChebTable:
+    """Single-interval Chebyshev-in-r^2 representation of an InterpTable.
+
+    The TPU has no per-lane gather: every table-lookup scheme pays either
+    per-element one-hot lane traffic (interpolate_twolevel) or XLA's slow
+    gather lowering (interpolate4).  This representation removes the lookup
+    entirely: f(u=r^2) is one global Chebyshev polynomial, evaluated by a
+    Clenshaw FMA chain that vectorizes perfectly on the VPU and needs no
+    memory access at all.  It is fit (at init, f64 least squares on a dense
+    sample) to the reference quadratic interpolant (eam.c:557-579); for the
+    shipped Cu tables, deg=20 over [2.0 A, cutoff] matches the interpolant
+    to ~3e-6 rel (value) / ~3e-4 rel (derivative) -- the derivative floor is
+    the interpolant's own knot noise (its df is only C0), so the fit is as
+    close to the smooth physical function as the reference interpolant
+    itself.  Because the returned derivative is the EXACT derivative of the
+    returned value, velocity-Verlet conserves the (fitted) Hamiltonian just
+    as well as the exact-table path conserves its own.
+
+    Below r_lo the evaluation clamps to u_lo: energy constant, force from
+    the (strongly repulsive) derivative at r_lo -- physical for pairs that
+    should never occur at equilibrium.  Use the f64 'rows' path for golden
+    validation; this is the f32 production path.
+    """
+
+    u_lo: float
+    u_hi: float
+    coef: np.ndarray    # [deg+1] f64 Chebyshev coefficients of f(u)
+    dcoef: np.ndarray   # [deg]   f64 Chebyshev coefficients of df/du
+
+
+def make_cheb(tab: InterpTable, r_lo: float, r_hi: float,
+              deg=None, n_sample: int = 100001,
+              tol_f: float = 5e-5, tol_df: float = 2e-3) -> ChebTable:
+    """Fit a ChebTable to the reference interpolant of ``tab`` over
+    [r_lo, r_hi] in u = r^2.
+
+    ``deg=None`` picks the lowest degree from (16, 20, 24, 32) whose max
+    relative error (vs the interpolant, f64) meets (tol_f, tol_df); rougher
+    tables (e.g. Mishin setfl phi, whose 10k-knot data carries spline-knot
+    wiggle) land at 32, smooth ones (Adams funcfl) at 16-20.
+    """
+    u_lo, u_hi = float(r_lo) ** 2, float(r_hi) ** 2
+    u = np.linspace(u_lo, u_hi, n_sample)
+    r = np.sqrt(u)
+    # reference quadratic interpolation, f64 numpy (same math as interpolate)
+    rc = np.maximum(r, tab.x0)
+    rr = (rc - tab.x0) * tab.inv_dx
+    ii = np.minimum(np.floor(rr).astype(np.int64), tab.n)
+    frac = np.where(ii > tab.n, 0.0, rr - np.floor(rr))
+    pad4 = np.concatenate([tab.padded, tab.padded[-1:]])
+    tm1, t0, t1, t2 = (pad4[ii + k] for k in range(4))
+    g1, g2 = t1 - tm1, t2 - t0
+    f_ref = t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0))
+    df_ref = 0.5 * (g1 + frac * (g2 - g1)) * tab.inv_dx   # df/dr
+
+    degrees = (deg,) if deg is not None else (16, 20, 24, 32)
+    best = None
+    for d in degrees:
+        cheb = np.polynomial.chebyshev.Chebyshev.fit(u, f_ref, d,
+                                                     domain=[u_lo, u_hi])
+        err_f = np.max(np.abs(cheb(u) - f_ref)) / np.max(np.abs(f_ref))
+        err_df = np.max(np.abs(2.0 * r * cheb.deriv()(u) - df_ref)) \
+            / np.max(np.abs(df_ref))
+        best = cheb
+        if err_f <= tol_f and err_df <= tol_df:
+            break
+    return ChebTable(u_lo=u_lo, u_hi=u_hi,
+                     coef=np.asarray(best.coef, np.float64),
+                     dcoef=np.asarray(best.deriv().coef, np.float64))
+
+
+def interpolate_cheb(coef, dcoef, u_lo: float, u_hi: float, r2, rr=None):
+    """Clenshaw evaluation of a ChebTable on u = r^2 arrays.
+
+    Returns (f, df/dr) to match the interpolate4 contract (df/dr =
+    2*r*dP/du); pass ``rr=None`` to get (f, (1/r)*df/dr = 2*dP/du) instead,
+    which is what force kernels actually need (they multiply by the
+    displacement vector) -- that form needs NO sqrt anywhere.
+    """
+    dtype = r2.dtype
+    u = jnp.clip(r2, dtype.type(u_lo), dtype.type(u_hi))
+    t2 = (u - dtype.type(0.5 * (u_lo + u_hi))) * dtype.type(
+        4.0 / (u_hi - u_lo))   # 2*t, t in [-1, 1]
+
+    def clenshaw(c):
+        b0 = jnp.zeros_like(u)
+        b1 = jnp.zeros_like(u)
+        for k in range(len(c) - 1, 0, -1):
+            b0, b1 = t2 * b0 - b1 + dtype.type(c[k]), b0
+        return dtype.type(0.5) * t2 * b0 - b1 + dtype.type(c[0])
+
+    f = clenshaw(coef)
+    dfdu = clenshaw(dcoef)
+    if rr is None:
+        return f, 2.0 * dfdu
+    return f, 2.0 * rr * dfdu
+
+
+@dataclasses.dataclass(frozen=True)
 class SplineTable:
     """Cubic-spline-in-r^2 table (gpu_utility.c:377-430, gpu_common.h:95-129).
 
