@@ -85,10 +85,10 @@ def main():
     short = int(os.environ.get("BENCH_SHORT", 3))
     long = int(os.environ.get("BENCH_LONG", 13))
     forced = os.environ.get("BENCH_CELLS")
-    # LJ is the headline config this round: the EAM hot path is gather-bound
-    # on this chip until the fused Pallas lookup lands (docs/BENCHMARKS.md);
-    # opt into EAM with BENCH_POT=eam.
-    want_eam = os.environ.get("BENCH_POT", "lj") == "eam"
+    # The headline config is the baseline's own: 1M-atom EAM Cu
+    # (BASELINE.md north star).  The Chebyshev-in-r^2 evaluators made EAM
+    # the fastest table path; opt into LJ with BENCH_POT=lj.
+    want_eam = os.environ.get("BENCH_POT", "eam") == "eam"
 
     attempts = ([(int(forced), want_eam)] if forced else
                 ([(64, True), (48, True), (32, True)] if want_eam else

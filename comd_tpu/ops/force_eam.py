@@ -190,6 +190,44 @@ def eam_force(
     return f1 + f3, u, df_embed
 
 
+def eam_force_pallas(
+    geom: CellGeometry,
+    pot: EamPotential,
+    r,                       # [3, B, A] with halo cells filled
+    fill_halo_scalar: Callable,
+    *,
+    chunk: int = 512,
+    e_dtype=jnp.float64,
+    interpret: bool = False,
+):
+    """Three-pass EAM force with the pair passes as Pallas stencil kernels
+    (the gpu_eam_cta_cell.h analog; table lookups are in-kernel Chebyshev
+    FMA chains).  Pass 2 (per-atom embedding) stays in XLA.
+
+    Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
+    """
+    from .pallas.stencil import eam_pass1_stencil, eam_pass3_stencil
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    f_dev = pot.f.stencil_device(dtype)
+
+    f1, phi_sum, rhobar_l = eam_pass1_stencil(
+        geom, pot, r, chunk=chunk, interpret=interpret)
+
+    # pass 2 (eam.c:351-366) -- per-atom, 27x fewer lookups than the pair
+    # passes; exact row-stencil interpolation
+    f_emb, df_emb_l = _interp(f_dev, pot.f, rhobar_l.astype(dtype))
+    u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+
+    df_embed = jnp.zeros((B, A), dtype=dtype)
+    df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
+    df_embed = fill_halo_scalar(df_embed)
+
+    f3 = eam_pass3_stencil(geom, pot, r, df_embed, chunk=chunk,
+                           interpret=interpret)
+    return (f1 + f3).astype(dtype), u, df_embed
+
+
 def eam_force_nl(
     nlist,
     pot: EamPotential,

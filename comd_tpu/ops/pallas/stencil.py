@@ -1,0 +1,299 @@
+"""Pallas TPU stencil kernel: the cell-pair force sweep (cta_cell analog).
+
+TPU-native redesign of the reference CUDA kernel family
+(gpu_lj_cta_cell.h:29-122, gpu_eam_cta_cell.h:34-75 -- one CTA per cell,
+neighbor positions staged through shared memory):
+
+  * cells are laid out densely in 3D (x-fastest over the halo-extended
+    grid) and TRANSPOSED so the cell axis rides the 128 TPU lanes and the
+    per-cell atom slots (A=32) ride sublanes: ``rp [3, A, L]``;
+  * each grid step DMAs one contiguous lane window [3, A, W] HBM->VMEM
+    (the shared-memory staging) covering a chunk of C cells plus the
+    +/-pad dense overhang that contains all 27 neighbor cells;
+  * every neighbor-cell read is then a *static lane-offset slice* of the
+    VMEM window -- no gathers, no dynamic indexing anywhere;
+  * the pair block for one neighbor offset is the sublane outer product
+    [A_i, A_j, CB]: all-pairs between the i-atoms and j-atoms of CB cells
+    at once, reduced over A_j on the VPU.
+
+This layout is what round 1's kernel was missing: its [3, W, A=32] window
+put atoms on lanes, so every neighbor read was a sub-tile row access that
+Mosaic rejects ("input offsets outside of the first tile").  With cells on
+lanes, all slices are full-height and Mosaic compiles it (verified on v5e;
+tools/pallas_probe.py).
+
+The same skeleton serves LJ and both EAM pair passes; only ``pair_fn``
+changes (mirroring ops/sweep.py's design).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...cells import CellGeometry
+from ..sweep import dense_maps
+
+SENTINEL = 1.0e10
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(rp_ref, *refs, pair_fn, has_sj, n_scalars, C, CB, W, PAD,
+            offsets):
+    """Generic stencil sweep kernel body.
+
+    refs order: [sj_ref] + fx,fy,fz + scalar outs + win, [sjwin], sems.
+
+    The offsets loop is unrolled (the slices must be static) and
+    accumulates into the VMEM out-block refs instead of SSA carries:
+    Mosaic allocates stack for every live SSA value of an unrolled loop,
+    so SSA accumulator chains through 27 Clenshaw-heavy iterations blow
+    VMEM (186M measured); with ref accumulation each iteration's
+    temporaries die at its end (measured 1.8x faster than the staged
+    fori_loop variant as well, tools/pallas_probe3.py).
+    """
+    pos = 0
+    sj_ref = None
+    if has_sj:
+        sj_ref = refs[pos]
+        pos += 1
+    out_f = refs[pos:pos + 3]
+    pos += 3
+    out_s = refs[pos:pos + n_scalars]
+    pos += n_scalars
+    win = refs[pos]
+    pos += 1
+    sjwin = None
+    if has_sj:
+        sjwin = refs[pos]
+        pos += 1
+    sem = refs[pos]
+
+    start = pl.program_id(0) * jnp.int32(C)
+    # index constants pinned to i32: under jax_enable_x64 python ints become
+    # i64, which Mosaic's memref_slice rejects
+    dma_r = pltpu.make_async_copy(
+        rp_ref.at[:, :, pl.ds(start, W)], win, sem.at[jnp.int32(0)])
+    dma_r.start()
+    if has_sj:
+        dma_s = pltpu.make_async_copy(
+            sj_ref.at[:, pl.ds(start, W)], sjwin, sem.at[jnp.int32(1)])
+        dma_s.start()
+        dma_s.wait()
+    dma_r.wait()
+
+    A = win.shape[1]
+    zero = jnp.zeros((A, CB), jnp.float32)
+    for b0 in range(0, C, CB):
+        base = PAD + b0
+        xi = win[0, :, base:base + CB]           # [A, CB]
+        yi = win[1, :, base:base + CB]
+        zi = win[2, :, base:base + CB]
+        sji = sjwin[:, base:base + CB][:, None, :] if has_sj else None
+        for ref in (*out_f, *out_s):
+            ref[:, b0:b0 + CB] = zero
+        for d in offsets:
+            xj = win[0, :, base + d:base + d + CB]
+            yj = win[1, :, base + d:base + d + CB]
+            zj = win[2, :, base + d:base + d + CB]
+            dx = xi[:, None, :] - xj[None, :, :]   # [A, A, CB]
+            dy = yi[:, None, :] - yj[None, :, :]
+            dz = zi[:, None, :] - zj[None, :, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            sjj = (sjwin[:, base + d:base + d + CB][None, :, :]
+                   if has_sj else None)
+            fc, scalars = pair_fn(r2, sji, sjj)
+            out_f[0][:, b0:b0 + CB] += jnp.sum(fc * dx, axis=1)
+            out_f[1][:, b0:b0 + CB] += jnp.sum(fc * dy, axis=1)
+            out_f[2][:, b0:b0 + CB] += jnp.sum(fc * dz, axis=1)
+            for k, s in enumerate(scalars):
+                out_s[k][:, b0:b0 + CB] += jnp.sum(s, axis=1)
+
+
+def stencil_sweep(
+    geom: CellGeometry,
+    r,                       # [3, B, A] positions, halo filled
+    pair_fn,                 # (r2 [A,A,CB], sj_i, sj_j) -> (fc, [scalars])
+    *,
+    scalar_j=None,           # optional per-atom field [B, A] (EAM dfEmbed)
+    n_scalars: int = 0,
+    chunk: int = 512,
+    cb: int = 128,
+    interpret: bool = False,
+):
+    """Run the Pallas stencil sweep; returns (force [3,n_local,A], scalars).
+
+    ``pair_fn`` runs INSIDE the kernel on f32 VMEM blocks: it receives the
+    squared-distance pair block [A, A, CB] (i-slots x j-slots x cells) plus
+    the optional per-atom field at i ([A, 1, CB]) and j ([1, A, CB]), and
+    returns the force coefficient (multiplies dr = r_i - r_j, summed over
+    j into the force on i) and ``n_scalars`` per-pair values summed over j.
+    Empty slots carry SENTINEL coordinates; masking by r2 handles them.
+    """
+    A = r.shape[-1]
+    d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
+    D = len(b_of_d)
+
+    C = min(chunk, _ceil_to(D, 128))
+    n_chunks = -(-D // C)
+    Dp = n_chunks * C
+    CB = min(cb, C)
+    W = _ceil_to(C + 2 * pad, 128)
+    L = (n_chunks - 1) * C + W
+
+    # dense transposed layout: [3, A, L], cells on lanes
+    rd = jnp.take(r, jnp.asarray(b_of_d), axis=1)        # [3, D, A]
+    rp = jnp.full((3, A, L), jnp.float32(SENTINEL), jnp.float32)
+    rp = jax.lax.dynamic_update_slice(
+        rp, jnp.transpose(rd.astype(jnp.float32), (0, 2, 1)), (0, 0, pad))
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [rp]
+    scratch = [pltpu.VMEM((3, A, W), jnp.float32)]
+    if scalar_j is not None:
+        sd = jnp.take(scalar_j, jnp.asarray(b_of_d), axis=0)  # [D, A]
+        sp = jnp.zeros((A, L), jnp.float32)
+        sp = jax.lax.dynamic_update_slice(
+            sp, jnp.transpose(sd.astype(jnp.float32)), (0, pad))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(sp)
+        scratch.append(pltpu.VMEM((A, W), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    n_out = 3 + n_scalars
+    kern = functools.partial(
+        _kernel, pair_fn=pair_fn, has_sj=scalar_j is not None,
+        n_scalars=n_scalars, C=C, CB=CB, W=W, PAD=pad,
+        offsets=tuple(int(d) for d in flat_offsets))
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        # index map zero derived from i: a literal 0 is i64 under x64 mode,
+        # which Mosaic's func.return rejects
+        out_specs=[pl.BlockSpec((A, C), lambda i: (jnp.zeros_like(i), i),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((A, Dp), jnp.float32)] * n_out,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    back = jnp.asarray(d_of_b[:geom.n_local])
+    force = jnp.stack([jnp.transpose(jnp.take(o, back, axis=1))
+                       for o in outs[:3]])              # [3, n_local, A]
+    scalars = [jnp.transpose(jnp.take(o, back, axis=1))
+               for o in outs[3:]]
+    return force, scalars
+
+
+# ---------------------------------------------------------------------------
+# LJ physics (ljForce.c:146-265 semantics, identical to ops/force_lj.py)
+# ---------------------------------------------------------------------------
+
+def lj_force_stencil(geom: CellGeometry, pot, r, *, chunk: int = 512,
+                     cb: int = 128, e_dtype=jnp.float64,
+                     interpret: bool = False):
+    """Drop-in for ops.force_lj.lj_force via the Pallas stencil kernel.
+
+    Returns (force [3, n_local, A], U [n_local, A], ePot).
+    """
+    s6 = np.float32(pot.s6)
+    eps4 = np.float32(4.0 * pot.epsilon)
+    e_shift = np.float32(pot.e_shift)
+    rcut2 = np.float32(pot.cutoff * pot.cutoff)
+
+    def pair(r2, sji, sjj):
+        mask = (r2 <= rcut2) & (r2 > 0)
+        inv_r2 = jnp.where(mask, 1.0 / jnp.where(mask, r2, 1.0), 0.0)
+        r6 = (s6 * inv_r2) * (inv_r2 * inv_r2)
+        e = jnp.where(mask, r6 * (r6 - 1.0) - e_shift, 0.0)
+        fc = jnp.where(mask, eps4 * r6 * inv_r2 * (12.0 * r6 - 6.0), 0.0)
+        return fc, [e]
+
+    force, (u_raw,) = stencil_sweep(geom, r, pair, n_scalars=1, chunk=chunk,
+                                    cb=cb, interpret=interpret)
+    u = (0.5 * 4.0 * pot.epsilon) * u_raw.astype(e_dtype)
+    return force.astype(r.dtype), u, jnp.sum(u)
+
+
+# ---------------------------------------------------------------------------
+# EAM physics: Chebyshev-in-r^2 evaluators inside the kernel
+# ---------------------------------------------------------------------------
+
+def _clenshaw(coef, t2, dtype=jnp.float32):
+    """Chebyshev Clenshaw with trace-time-constant coefficients.
+
+    ``t2`` is 2*t for t in [-1,1]; pure FMA chain, no memory operands."""
+    b0 = jnp.zeros_like(t2)
+    b1 = jnp.zeros_like(t2)
+    for k in range(len(coef) - 1, 0, -1):
+        b0, b1 = t2 * b0 - b1 + dtype.type(coef[k]), b0
+    return np.float32(0.5) * t2 * b0 - b1 + dtype.type(coef[0])
+
+
+def _cheb_t2(ch, u):
+    uc = jnp.clip(u, np.float32(ch.u_lo), np.float32(ch.u_hi))
+    return (uc - np.float32(0.5 * (ch.u_lo + ch.u_hi))) * np.float32(
+        4.0 / (ch.u_hi - ch.u_lo))
+
+
+def eam_pass1_stencil(geom: CellGeometry, pot, r, *, chunk: int = 512,
+                      cb: int = 128, interpret: bool = False):
+    """EAM pass 1 (gpu_eam_cta_cell.h:34-75 analog): pair energy, electron
+    density accumulation and pair force, with the phi/rho table lookups as
+    in-kernel Chebyshev FMA chains (see potentials/tables.ChebTable).
+
+    Returns (f1 [3, n_local, A], phi_sum [n_local, A], rhobar [n_local, A]).
+    """
+    chp, chr_ = pot.cheb_phi, pot.cheb_rho
+    rcut2 = np.float32(pot.cutoff * pot.cutoff)
+    dt = jnp.dtype(jnp.float32)
+
+    def pair(r2, sji, sjj):
+        mask = (r2 <= rcut2) & (r2 > 0)
+        t2p = _cheb_t2(chp, r2)
+        phi = _clenshaw(chp.coef, t2p, dt)
+        dphidu = _clenshaw(chp.dcoef, t2p, dt)
+        t2r = _cheb_t2(chr_, r2)
+        rho = _clenshaw(chr_.coef, t2r, dt)
+        fc = jnp.where(mask, np.float32(-2.0) * dphidu, 0.0)
+        return fc, [jnp.where(mask, phi, 0.0), jnp.where(mask, rho, 0.0)]
+
+    f1, (phi_sum, rhobar) = stencil_sweep(
+        geom, r, pair, n_scalars=2, chunk=chunk, cb=cb, interpret=interpret)
+    return f1, phi_sum, rhobar
+
+
+def eam_pass3_stencil(geom: CellGeometry, pot, r, df_embed, *,
+                      chunk: int = 512, cb: int = 128,
+                      interpret: bool = False):
+    """EAM pass 3: embedding force  f_i -= (dfe_i + dfe_j) * rho'(r) * rhat,
+    expressed gather-free as fc = -(dfe_i + dfe_j) * 2 * dRho/du.
+
+    ``df_embed`` is the halo-exchanged [B, A] dfEmbed field (eam.c:374-413).
+    Returns f3 [3, n_local, A].
+    """
+    chr_ = pot.cheb_rho
+    rcut2 = np.float32(pot.cutoff * pot.cutoff)
+    dt = jnp.dtype(jnp.float32)
+
+    def pair(r2, sji, sjj):
+        mask = (r2 <= rcut2) & (r2 > 0)
+        t2r = _cheb_t2(chr_, r2)
+        drhodu = _clenshaw(chr_.dcoef, t2r, dt)
+        fc = jnp.where(mask, -(sji + sjj) * (np.float32(2.0) * drhodu), 0.0)
+        return fc, []
+
+    f3, _ = stencil_sweep(geom, r, pair, scalar_j=df_embed, n_scalars=0,
+                          chunk=chunk, cb=cb, interpret=interpret)
+    return f3

@@ -107,30 +107,35 @@ class Simulation:
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
 
+        use_pallas = cfg.method == "cta_cell" and not cfg.lj_interpolation
+        # interpret mode only off-TPU (tests); on TPU the kernel is real --
+        # any Mosaic rejection is a loud error, never a silent fallback.
+        interpret = jax.default_backend() != "tpu"
+
         if isinstance(pot, EamPotential):
             def force(r, n_atoms):
                 fill = functools.partial(binning.fill_halo_scalar_serial, geom)
-                f_loc, u_raw, _dfe = force_eam.eam_force(
-                    geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
+                if use_pallas:
+                    f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
+                        geom, pot, r, fill, chunk=chunk, e_dtype=e_dtype,
+                        interpret=interpret)
+                else:
+                    f_loc, u_raw, _dfe = force_eam.eam_force(
+                        geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                        e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl)
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
                 valid = slot < n_atoms[:geom.n_local, None]
                 u, e_pot = force_eam.finalize_eam_energy(u_raw, valid, e_dtype)
                 return f_loc, u, e_pot
-        elif (cfg.method == "cta_cell" and not cfg.lj_interpolation
-              and jax.default_backend() == "cpu"):
-            # Pallas kernel (VMEM-staged cell windows), interpret mode.
-            # On this TPU generation Mosaic rejects the kernel's dynamic
-            # sub-tile row reads ("input offsets outside of the first
-            # tile"); until the kernel is retiled, cta_cell on TPU falls
-            # through to the XLA sweep below (same physics, same results).
-            from .ops.pallas.lj_cell import lj_force_pallas
+        elif use_pallas:
+            from .ops.pallas.stencil import lj_force_stencil
 
             def force(r, n_atoms):
-                return lj_force_pallas(geom, pot, r, chunk=chunk,
-                                       e_dtype=e_dtype, interpret=True)
+                return lj_force_stencil(geom, pot, r, chunk=chunk,
+                                        e_dtype=e_dtype, interpret=interpret)
         else:
             lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
                      else force_lj.lj_force)
