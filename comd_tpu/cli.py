@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
       help="dynamics precision (energies always f64-accumulated)")
     a("--boxChunk", type=int, default=256, help="cells per force-sweep chunk")
     a("--yaml", default=None, help="YAML report output directory (off if unset)")
+    a("--analyze", action="store_true",
+      help="print the link-cell occupancy histogram (AnalyzeInput)")
     return p
 
 
@@ -110,7 +112,8 @@ def print_things(sim, i_step: int, elapsed: float, n_eval: int, out=sys.stdout):
           file=out, flush=True)
 
 
-def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None) -> dict:
+def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
+        analyze: bool = False) -> dict:
     """Full reference-style run. Returns a result summary dict."""
     from . import sim as sim_mod
     from .utils.timers import PerfTimers
@@ -123,6 +126,8 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None) -> dict:
     for key, val in sim.pot.describe():
         print(f"  {key:<17}: {val}", file=out)
     print(file=out)
+    if analyze:
+        analyze_input(sim, out=out)
 
     e0 = (sim.e_potential + sim.kinetic_energy()) / sim.n_global
     n0 = sim.sum_atoms()
@@ -162,8 +167,18 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None) -> dict:
         print(f"# WARNING: {n0 - n_final:6d} atoms lost #", file=out)
         print("#############################", file=out)
 
+    if cfg.gpu_profile:
+        # -s: single-force profiling mode (CoMD.c:216-218) -- attribute the
+        # step phases with separately dispatched, scanned blocks
+        from .utils.profile import profile_phases, report_phases
+        print("\nProfiling mode (-s): phase-attributed timing", file=out)
+        phases = profile_phases(sim, out=out)
+        print(report_phases(phases, sim.n_global), file=out)
+        analyze_input(sim, out=out)
+
     timers.stop("total")
     print(timers.report(sim.n_global, cfg.n_steps), file=out)
+    print(timers.rank_stats(), file=out)
 
     result = {
         "e_initial": e0,
@@ -231,7 +246,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     try:
-        run(cfg, yaml_dir=args.yaml)
+        run(cfg, yaml_dir=args.yaml, analyze=args.analyze)
     except (ValueError, FileNotFoundError) as e:
         print(f"comd-tpu: {e}. Fatal Error.", file=sys.stderr)
         return 1

@@ -77,6 +77,15 @@ class Config:
                                 # access at all, ~3e-6/3e-4 rel value/force
                                 # vs the reference interpolant), "auto" =
                                 # cheb for f32 dynamics, rows for f64
+    half_shell: bool = True     # cell sweeps: evaluate each pair once
+                                # (Newton's 3rd law) and deliver the j side
+                                # by overlap-added shifted slices + a halo
+                                # fold, instead of sweeping all 27 neighbor
+                                # cells from both ends.  ~1.9x fewer pair
+                                # evaluations; fp-reordering-level result
+                                # changes only.  Ignored by *_nl, cta_cell
+                                # and the -a async split (those keep the
+                                # full sweep).
     lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
                                 # rebucket only on the skin/2 trigger instead
                                 # of every step (strictly faster than the

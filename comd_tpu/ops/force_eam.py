@@ -190,6 +190,53 @@ def eam_force(
     return f1 + f3, u, df_embed
 
 
+def eam_force_half(
+    geom: CellGeometry,
+    pot: EamPotential,
+    r,                       # [3, B, A] with halo cells filled
+    fill_halo_scalar: Callable,
+    fold: Callable,          # [..., n_total, A] -> [..., n_local, A]
+    *,
+    spline: bool = False,
+    chunk: int = 512,
+    e_dtype=jnp.float64,
+    interp_impl: str = "rows",
+):
+    """Three-pass EAM with Newton's-3rd-law half sweeps for passes 1 and 3.
+
+    Each pair is evaluated once (the reference's half-list kernels,
+    eam.c:266-419); the j-side lands on dense rows -- halo rows fold back
+    to owners via ``fold`` (the half-shell force exchange).  phi and rho
+    are symmetric, so the j-side scalar delivery equals the i-side one.
+
+    Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
+    """
+    from .sweep import cell_pair_sweep_half
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    f_dev = pot.f.stencil_device(dtype)
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+
+    f1d, (phi_d, rho_d) = cell_pair_sweep_half(
+        geom, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
+    f1 = fold(f1d)
+    phi_sum = fold(phi_d)
+    rhobar_l = fold(rho_d)
+
+    f_emb, df_emb_l = _interp(f_dev, pot.f, rhobar_l)
+    u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+
+    df_embed = jnp.zeros((B, A), dtype=dtype)
+    df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
+    df_embed = fill_halo_scalar(df_embed)
+
+    f3d, _ = cell_pair_sweep_half(
+        geom, r, make_pair3(eval_rho), rcut2, chunk=chunk,
+        scalar_j=[df_embed])
+    return f1 + fold(f3d), u, df_embed
+
+
 def eam_force_pallas(
     geom: CellGeometry,
     pot: EamPotential,

@@ -54,6 +54,27 @@ def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
     return force, u.astype(r.dtype), e_pot
 
 
+def lj_force_half(geom: CellGeometry, pot: LjPotential, r, fold, *,
+                  chunk=512, e_dtype=jnp.float64):
+    """LJ via the Newton's-3rd-law half sweep (each pair evaluated once,
+    j-side delivered by overlap-add; see sweep.cell_pair_sweep_half).
+
+    ``fold`` maps dense [..., n_total, A] contributions to [..., n_local, A]
+    (sweep.fold_halo_serial, or exchange.fold_halo over a mesh).
+    Returns (force [3, n_local, A], U [n_local, A], ePot)."""
+    from .sweep import cell_pair_sweep_half
+    rcut2 = pot.cutoff * pot.cutoff
+    pair_fn = make_lj_pair_fn(pot, r.dtype)
+    force, (u,) = cell_pair_sweep_half(geom, r, pair_fn, rcut2, chunk=chunk)
+    force = fold(force)
+    u = fold(u)
+    # the half sweep delivers e to both sides of each pair, so the atom sum
+    # double-counts pairs exactly as the full sweep does -> same 0.5 * 4eps
+    u = (0.5 * 4.0 * pot.epsilon) * u.astype(e_dtype)
+    e_pot = jnp.sum(u)
+    return force, u.astype(r.dtype), e_pot
+
+
 def lj_force_interp(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
                     e_dtype=jnp.float64):
     """Table-interpolated LJ (-I): energies from the 1000-point quadratic

@@ -128,6 +128,194 @@ def cell_pair_sweep_dense(
     return force, scalars
 
 
+def is_local_dense(geom: CellGeometry) -> np.ndarray:
+    """[D] flag: dense row holds a LOCAL cell (not a halo image)."""
+    d_of_b, b_of_d, _, _ = dense_maps(geom)
+    flag = np.zeros(len(b_of_d), dtype=bool)
+    flag[d_of_b[:geom.n_local]] = True
+    return flag
+
+
+def cell_pair_sweep_half(
+    geom: CellGeometry,
+    r: jnp.ndarray,                    # [3, B, A]
+    pair_fn: Callable,
+    rcut2: float,
+    *,
+    scalar_j: Sequence[jnp.ndarray] = (),
+    chunk: int = 512,
+    want_force: bool = True,
+):
+    """Newton's-3rd-law half sweep: every unordered pair evaluated ONCE.
+
+    The reference's half-neighbor-list kernels scatter to both atoms
+    (ljForce.c:146-265, eam.c:266-419); scatters are poison on TPU, so the
+    j-side delivery becomes an *overlap-add of statically shifted slices*
+    in the dense cell layout: for each of the 13 positive flat offsets d,
+    the j contributions of a chunk of C cells form a [C, A] block that
+    belongs d lanes downstream -- accumulated into a per-chunk staging
+    buffer at static offset d, then overlap-added across chunks.  The
+    self-cell (d=0) uses a triangular slot mask.
+
+    Pair-once counting rule: only LOCAL dense rows act as i (halo images
+    are j-only).  Each unordered pair then has exactly one swept instance,
+    and contributions accumulated on halo rows belong to the owning cell:
+    the caller MUST fold them back (fold_halo_serial, or
+    parallel.exchange.fold_halo over a mesh -- the half-shell force
+    exchange the reference ships as part of its EAM/LJ kernel family).
+
+    ``pair_fn`` has the cell_pair_sweep contract; its scalar outputs are
+    delivered symmetrically to BOTH sides (phi, rho are symmetric), its
+    fcoef to i as +fcoef*dr and to j as -fcoef*dr.
+
+    Returns (force [3, n_total, A] | None, [scalars [n_total, A]...]),
+    dense contributions on ALL rows (halo rows pending fold).
+    """
+    A = r.shape[-1]
+    dtype = r.dtype
+    d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
+    D = len(b_of_d)
+    pos_offsets = sorted(int(d) for d in flat_offsets if d > 0)
+
+    C = min(chunk, D)
+    n_chunks = -(-D // C)
+    Dp = n_chunks * C
+    JW = C + pad                      # j staging width per chunk
+    rpad = (Dp - D) + pad             # right padding covers j reads
+
+    rd = jnp.take(r, jnp.asarray(b_of_d), axis=1)          # [3, D, A]
+    sent = jnp.full((3, rpad, A), dtype.type(1.0e10), dtype=dtype)
+    rp = jnp.concatenate([rd, sent], axis=1)
+    iv = np.zeros(Dp, dtype=bool)
+    iv[:D] = is_local_dense(geom)
+    iv_dev = jnp.asarray(iv)
+    sp = []
+    for s in scalar_j:
+        sd = jnp.take(s, jnp.asarray(b_of_d), axis=0)
+        sp.append(jnp.concatenate(
+            [sd, jnp.zeros((rpad, A), s.dtype)], axis=0))
+
+    BIG = dtype.type(1.0e30)
+    tri = jax.lax.broadcasted_iota(jnp.int32, (A, A), 0) < \
+        jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)     # slot_i < slot_j
+
+    # Lane grouping: a lone [C, A, A] pair block uses only A=32 of the 128
+    # TPU lanes in its minor axis; concatenating G offsets' j-cells on the
+    # lane axis ([C, A, G*A]) keeps the VPU full.  The self-cell (d=0)
+    # joins the first group with its triangular mask restricted to its own
+    # lane slice.
+    G = max(1, 128 // A)
+    all_offsets = [0] + pos_offsets           # d=0 first (self-cell)
+    groups = [all_offsets[g:g + G] for g in range(0, len(all_offsets), G)]
+
+    def group_allowed(group):
+        cols = [tri if d == 0 else jnp.ones((A, A), bool) for d in group]
+        return jnp.concatenate(cols, axis=-1)             # [A, G'*A]
+
+    def body(c0):
+        ri = jax.lax.dynamic_slice_in_dim(rp, c0, C, axis=1)   # [3, C, A]
+        ivc = jax.lax.dynamic_slice_in_dim(iv_dev, c0, C)      # [C]
+        si = [jax.lax.dynamic_slice_in_dim(s, c0, C, axis=0) for s in sp]
+        si_args = [v[:, :, None] for v in si]
+
+        jbuf_f = jnp.zeros((3, JW, A), dtype) if want_force else None
+        i_f = jnp.zeros((3, C, A), dtype) if want_force else None
+        i_s = None
+        jbuf_s = None
+
+        for group in groups:
+            rj = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(rp, c0 + d, C, axis=1)
+                 for d in group], axis=-1)                 # [3, C, G'A]
+            dr = ri[:, :, :, None] - rj[:, :, None, :]     # [3, C, A, G'A]
+            r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+            r2 = jnp.where(ivc[:, None, None], r2, BIG)
+            r2 = jnp.where(group_allowed(group)[None], r2, BIG)
+            mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+            sj_args = [jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(s, c0 + d, C, axis=0)
+                 for d in group], axis=-1)[:, None, :] for s in sp]
+            fcoef, scalars = pair_fn(r2, mask, sj_args, si_args)
+
+            if want_force:
+                i_f = i_f + jnp.stack(
+                    [jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)])
+                fj = jnp.stack([-jnp.sum(fcoef * dr[a], axis=-2)
+                                for a in range(3)])        # [3, C, G'A]
+                for g, d in enumerate(group):
+                    jbuf_f = jbuf_f.at[:, d:d + C].add(
+                        fj[..., g * A:(g + 1) * A])
+            sc_i = [jnp.sum(s, axis=-1) for s in scalars]
+            sc_j = [jnp.sum(s, axis=-2) for s in scalars]
+            if i_s is None:
+                i_s = sc_i
+                jbuf_s = [jnp.zeros((JW, A), dtype) for _ in scalars]
+            else:
+                i_s = [a + b for a, b in zip(i_s, sc_i)]
+            for g, d in enumerate(group):
+                jbuf_s = [jb.at[d:d + C].add(sj_[..., g * A:(g + 1) * A])
+                          for jb, sj_ in zip(jbuf_s, sc_j)]
+
+        res = []
+        if want_force:
+            res.extend([i_f, jbuf_f])
+        for a, jb in zip(i_s or [], jbuf_s or []):
+            res.extend([a, jb])
+        return tuple(res)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * C
+    results = jax.lax.map(body, starts)
+
+    def overlap_add(i_stk, j_stk, lead):
+        """i_stk [n, ...lead, C, A] + j_stk [n, ...lead, JW, A] -> dense."""
+        perm = tuple(range(1, 1 + lead)) + (0,) + (1 + lead, 2 + lead)
+        i_d = jnp.transpose(i_stk, perm).reshape(
+            i_stk.shape[1:1 + lead] + (Dp, A))
+        n_seg = -(-JW // C)
+        j_pad = jnp.pad(j_stk, [(0, 0)] * (1 + lead)
+                        + [(0, n_seg * C - JW), (0, 0)])
+        total = jnp.zeros(i_stk.shape[1:1 + lead] + (Dp + n_seg * C, A),
+                          i_stk.dtype)
+        total = jax.lax.dynamic_update_slice_in_dim(total, i_d, 0, axis=lead)
+        for s in range(n_seg):
+            seg = j_pad[..., s * C:(s + 1) * C, :]
+            seg = jnp.transpose(seg, perm).reshape(
+                j_stk.shape[1:1 + lead] + (Dp, A))
+            upd = jax.lax.dynamic_slice_in_dim(
+                total, s * C, Dp, axis=lead) + seg
+            total = jax.lax.dynamic_update_slice_in_dim(
+                total, upd, s * C, axis=lead)
+        return total[..., :D, :]
+
+    back_all = jnp.asarray(d_of_b)     # every box, local + halo
+    out = []
+    i = 0
+    if want_force:
+        fd = overlap_add(results[0], results[1], 1)        # [3, D, A]
+        out.append(jnp.take(fd, back_all, axis=1))         # [3, B, A]
+        i = 2
+    scalars_out = []
+    while i < len(results):
+        sd = overlap_add(results[i], results[i + 1], 0)    # [D, A]
+        scalars_out.append(jnp.take(sd, back_all, axis=0))
+        i += 2
+    force = out[0] if want_force else None
+    return force, scalars_out
+
+
+def fold_halo_serial(geom: CellGeometry, x):
+    """Fold halo-row contributions back into owner cells (serial PBC).
+
+    ``x`` is [..., n_total, A]; returns [..., n_local, A].  The half-shell
+    analog of the reference's force exchange: ghost contributions
+    accumulate into the mirrored local cell (duplicate sources handled by
+    scatter-add)."""
+    src = jnp.asarray(geom.halo_src)
+    local = x[..., :geom.n_local, :]
+    halo = x[..., geom.n_local:, :]
+    return local.at[..., src, :].add(halo)
+
+
 def _padded_chunks(geom: CellGeometry, chunk: int,
                    boxes=None) -> tuple[np.ndarray, int, int]:
     """Box ids (all local cells, or an explicit subset) padded to a multiple

@@ -183,6 +183,34 @@ def exchange_positions(plan: ExchangePlan, geom: CellGeometry, r):
     return r
 
 
+def fold_halo(plan: ExchangePlan, geom: CellGeometry, x):
+    """Half-shell force exchange: fold ghost-cell accumulations back into
+    their owner cells across the mesh, then return the local rows.
+
+    This is ``exchange_scalar`` REVERSED: stage order z -> y -> x with the
+    same growing cross-sections, halo planes sent back and ADDED into the
+    sender-side local planes, so edge/corner contributions forward across
+    two or three hops exactly as fills do (haloExchange.c:345-475 run
+    backwards).  Axes of size 1 fold a shard's own periodic images
+    (ppermute is the identity there), subsuming the serial PBC fold.
+
+    ``x`` is [..., n_total, A]; returns [..., n_local, A].
+    """
+    for axis in (2, 1, 0):
+        name = plan.axis_names[axis]
+        to_minus, to_plus = _shift_perms(name)
+        send_m, send_p = (jnp.asarray(v) for v in plan.force_send[axis])
+        recv_m, recv_p = (jnp.asarray(v) for v in plan.force_recv[axis])
+        # my -1 halo plane belongs to the minus neighbor's top local plane
+        got_from_plus = jax.lax.ppermute(
+            jnp.take(x, recv_m, axis=-2), name, to_minus)
+        got_from_minus = jax.lax.ppermute(
+            jnp.take(x, recv_p, axis=-2), name, to_plus)
+        x = x.at[..., send_p, :].add(got_from_plus)
+        x = x.at[..., send_m, :].add(got_from_minus)
+    return x[..., :geom.n_local, :]
+
+
 def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x):
     """Staged halo exchange of a per-atom scalar field (EAM dfEmbed).
 

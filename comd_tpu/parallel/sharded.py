@@ -111,7 +111,9 @@ class ShardedSimulation:
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
         fill = functools.partial(exchange.exchange_scalar, plan, geom)
+        fold = functools.partial(exchange.fold_halo, plan, geom)
         use_async = bool(cfg.gpu_async)
+        use_half = cfg.half_shell and not use_async and not cfg.lj_interpolation
         if use_async:
             interior, boundary = cells.boundary_lists(geom, ring=1)
 
@@ -122,6 +124,11 @@ class ShardedSimulation:
                         geom, pot, r, fill, interior, boundary,
                         r_pre=r_pre, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl)
+                elif use_half:
+                    f_loc, u_raw, _dfe = force_eam.eam_force_half(
+                        geom, pot, r, fill, fold, spline=cfg.spline,
+                        chunk=chunk, e_dtype=e_dtype,
                         interp_impl=cfg.resolved_interp_impl)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
@@ -143,6 +150,9 @@ class ShardedSimulation:
                     f_loc, _u, e_pot = force_lj.lj_force_split(
                         geom, pot, r, interior, boundary, r_pre=r_pre,
                         chunk=chunk, e_dtype=e_dtype)
+                elif use_half:
+                    f_loc, _u, e_pot = force_lj.lj_force_half(
+                        geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype)
                 else:
                     f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
                                              e_dtype=e_dtype)
@@ -324,7 +334,14 @@ class ShardedSimulation:
             r2, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
                 plan, geom, r1, p, gid, n_atoms)
             r2, p, gid = binning.sort_cells(r2, p, gid)
-            return r2, p, gid, n_atoms, r2, r1, ovf | ovf2
+            # r_pre = r2 (not the pre-exchange r1): migration happens ONLY
+            # on rebuild steps, so handing the interior sweep post-exchange
+            # positions here keeps -a 1 EXACT (migrants arriving into
+            # boundary cells stay visible to ring-2 interior neighbors) at
+            # the cost of overlap on this 1-in-~70 step; refresh steps keep
+            # full overlap since their r_pre differs only in ghost cells,
+            # which interior sweeps never read.
+            return r2, p, gid, n_atoms, r2, r2, ovf | ovf2
 
         def refresh(args):
             r, p, gid, n_atoms, last_r = args

@@ -108,9 +108,12 @@ class Simulation:
         chunk = cfg.box_chunk
 
         use_pallas = cfg.method == "cta_cell" and not cfg.lj_interpolation
+        use_half = cfg.half_shell and not use_pallas and not cfg.lj_interpolation
         # interpret mode only off-TPU (tests); on TPU the kernel is real --
         # any Mosaic rejection is a loud error, never a silent fallback.
         interpret = jax.default_backend() != "tpu"
+        from .ops.sweep import fold_halo_serial
+        fold = functools.partial(fold_halo_serial, geom)
 
         if isinstance(pot, EamPotential):
             def force(r, n_atoms):
@@ -119,6 +122,11 @@ class Simulation:
                     f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
                         geom, pot, r, fill, chunk=chunk, e_dtype=e_dtype,
                         interpret=interpret)
+                elif use_half:
+                    f_loc, u_raw, _dfe = force_eam.eam_force_half(
+                        geom, pot, r, fill, fold, spline=cfg.spline,
+                        chunk=chunk, e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
@@ -136,6 +144,10 @@ class Simulation:
             def force(r, n_atoms):
                 return lj_force_stencil(geom, pot, r, chunk=chunk,
                                         e_dtype=e_dtype, interpret=interpret)
+        elif use_half:
+            def force(r, n_atoms):
+                return force_lj.lj_force_half(geom, pot, r, fold,
+                                              chunk=chunk, e_dtype=e_dtype)
         else:
             lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
                      else force_lj.lj_force)

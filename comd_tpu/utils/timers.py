@@ -113,6 +113,39 @@ class PerfTimers:
             ]
         return "\n".join(lines)
 
+    def rank_stats(self) -> str:
+        """Cross-rank timer statistics (performanceTimers.c:291-335).
+
+        Gathers each timer total over JAX processes (one rank per host
+        process); single-process runs print the degenerate stats, matching
+        the reference's output on 1 rank.
+        """
+        import numpy as np
+        names = [n.strip() for n in TIMER_NAMES
+                 if self.timers[n.strip()].count > 0]
+        totals = np.array([self.timers[n].total for n in names])
+        try:
+            import jax
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                allt = np.asarray(multihost_utils.process_allgather(totals))
+            else:
+                allt = totals[None, :]
+        except Exception:
+            allt = totals[None, :]
+        lines = [
+            "",
+            "Timing Statistics Across " f"{allt.shape[0]} Ranks:",
+            f"{'Timer':<16}{'Rank: Min(s)':>14}{'Rank: Max(s)':>14}"
+            f"{'Avg(s)':>10}{'Stdev(s)':>10}",
+        ]
+        for i, n in enumerate(names):
+            col = allt[:, i]
+            lines.append(
+                f"{n:<16}{col.min():>14.4f}{col.max():>14.4f}"
+                f"{col.mean():>10.4f}{col.std():>10.4f}")
+        return "\n".join(lines)
+
     def atom_rate(self, n_global_atoms: int, n_steps: int) -> float:
         """atoms/us figure of merit (performanceTimers.c:176-193)."""
         ts = self.timers["timestep"].total
