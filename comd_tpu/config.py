@@ -77,6 +77,10 @@ class Config:
                                 # access at all, ~3e-6/3e-4 rel value/force
                                 # vs the reference interpolant), "auto" =
                                 # cheb for f32 dynamics, rows for f64
+    comm_impl: str = "collective"  # dfEmbed halo transport: "collective"
+                                   # (lax.ppermute; XLA owns scheduling) or
+                                   # "ki" (Pallas make_async_remote_copy --
+                                   # the kernel-initiated comm_ki analog)
     half_shell: bool = True     # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo

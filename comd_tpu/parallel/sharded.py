@@ -110,7 +110,12 @@ class ShardedSimulation:
         cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
-        fill = functools.partial(exchange.exchange_scalar, plan, geom)
+        if cfg.comm_impl == "ki":
+            from . import pallas_comm
+            fill = functools.partial(pallas_comm.exchange_scalar_ki,
+                                     plan, geom)
+        else:
+            fill = functools.partial(exchange.exchange_scalar, plan, geom)
         fold = functools.partial(exchange.fold_halo, plan, geom)
         use_async = bool(cfg.gpu_async)
         use_half = cfg.half_shell and not use_async and not cfg.lj_interpolation

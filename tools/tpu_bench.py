@@ -30,9 +30,12 @@ def main():
     def log(m):
         print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
 
+    import os
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    half = os.environ.get("BENCH_HALF", "1") == "1"
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
-                 dtype="float32", max_atoms=32, box_chunk=256,
-                 method=method, pot_dir="/root/repo/pots")
+                 dtype="float32", max_atoms=32, box_chunk=chunk,
+                 half_shell=half, method=method, pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
     log(f"init done atoms={sim.n_global} method={method}")
 
