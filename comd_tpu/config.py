@@ -81,15 +81,18 @@ class Config:
                                    # (lax.ppermute; XLA owns scheduling) or
                                    # "ki" (Pallas make_async_remote_copy --
                                    # the kernel-initiated comm_ki analog)
-    half_shell: bool = True     # cell sweeps: evaluate each pair once
+    half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo
-                                # fold, instead of sweeping all 27 neighbor
-                                # cells from both ends.  ~1.9x fewer pair
-                                # evaluations; fp-reordering-level result
-                                # changes only.  Ignored by *_nl, cta_cell
-                                # and the -a async split (those keep the
-                                # full sweep).
+                                # fold (the reference's half-list kernels,
+                                # ljForce.c:146-265).  Measured on v5e the
+                                # full sweep WINS despite 1.9x more pair
+                                # evaluations (the i- and j-side reductions
+                                # each rematerialize the pair block, and
+                                # the dense j-delivery adds traffic; see
+                                # docs/BENCHMARKS.md), so this is a parity/
+                                # correctness path, off by default.
+                                # Ignored by *_nl, cta_cell and -a.
     lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
                                 # rebucket only on the skin/2 trigger instead
                                 # of every step (strictly faster than the

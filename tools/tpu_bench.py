@@ -32,7 +32,7 @@ def main():
 
     import os
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
-    half = os.environ.get("BENCH_HALF", "1") == "1"
+    half = os.environ.get("BENCH_HALF", "0") == "1"
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                  dtype="float32", max_atoms=32, box_chunk=chunk,
                  half_shell=half, method=method, pot_dir="/root/repo/pots")
