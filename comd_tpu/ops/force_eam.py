@@ -44,17 +44,21 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
         # gather-free FMA-chain lookup (tables.ChebTable); coefficients are
         # trace-time constants, so the evaluators compile into pure VPU
         # arithmetic with zero memory operands -- the fastest TPU path.
+        # u_form: the derivative comes back as (1/r) df/dr (native to the
+        # r^2-domain fit), so the pair kernels need NO sqrt and NO divide.
         phi_c = pot.cheb_phi
         rho_c = pot.cheb_rho
 
         def eval_phi(r2, rr):
             return tables.interpolate_cheb(
-                phi_c.coef, phi_c.dcoef, phi_c.u_lo, phi_c.u_hi, r2, rr)
+                phi_c.coef, phi_c.dcoef, phi_c.u_lo, phi_c.u_hi, r2, None)
 
         def eval_rho(r2, rr):
             return tables.interpolate_cheb(
-                rho_c.coef, rho_c.dcoef, rho_c.u_lo, rho_c.u_hi, r2, rr)
+                rho_c.coef, rho_c.dcoef, rho_c.u_lo, rho_c.u_hi, r2, None)
 
+        eval_phi.u_form = True
+        eval_rho.u_form = True
         return eval_phi, eval_rho
 
     if impl == "twolevel" and not spline:
@@ -94,16 +98,18 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
         phi_c = jnp.asarray(phi_sp.coeffs, dtype=dtype)
         rho_c = jnp.asarray(rho_sp.coeffs, dtype=dtype)
 
+        # spline evaluates in r^2 and returns (f, (1/r) df/dr) natively --
+        # u_form spares the pair kernels the sqrt/divide round trip
         def eval_phi(r2, rr):
-            # spline returns (f, (1/r) df/dr); convert to df/dr = df*r
-            f, df = tables.interpolate_spline(
+            return tables.interpolate_spline(
                 phi_c, phi_sp.n, phi_sp.x0, phi_sp.xn, phi_sp.inv_dx, r2)
-            return f, df * rr
 
         def eval_rho(r2, rr):
-            f, df = tables.interpolate_spline(
+            return tables.interpolate_spline(
                 rho_c, rho_sp.n, rho_sp.x0, rho_sp.xn, rho_sp.inv_dx, r2)
-            return f, df * rr
+
+        eval_phi.u_form = True
+        eval_rho.u_form = True
     else:
         def eval_phi(r2, rr):
             return _interp(phi_dev, pot.phi, rr)
@@ -114,12 +120,42 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
     return eval_phi, eval_rho
 
 
+
+def make_f_eval(pot: EamPotential, dtype, impl: str):
+    """Pass-2 embedding-function evaluator F(rhobar) -> (F, dF).
+
+    Per-atom (27x fewer evaluations than the pair passes) but still ~1.5M
+    gathers at 1M atoms on the 'rows' path (~7 ms on v5e); the fast impls
+    use the exact two-level one-hot lookup instead (<=1 ulp).  F is not
+    Chebyshev-fit: rhobar's domain edge (rho -> 0) has sqrt-like curvature
+    the global fit handles poorly, and pass 2 is cheap enough exactly.
+    """
+    if impl in ("twolevel", "cheb"):
+        T2np, nb = tables.pack_twolevel([pot.f], block_rows=8)
+        T2 = jnp.asarray(T2np, dtype=dtype)
+        tab = pot.f
+
+        def eval_f(rho):
+            (f, df), = tables.interpolate_twolevel(
+                T2, nb, 8, 1, tab.n, tab.x0, tab.inv_dx, rho)
+            return f, df
+
+        return eval_f
+    f_dev = pot.f.stencil_device(dtype)
+    return lambda rho: _interp(f_dev, pot.f, rho)
+
+
 def make_pair1(eval_phi, eval_rho):
-    """Pass-1 per-pair physics: phi energy, rho accumulation, pair force."""
+    """Pass-1 per-pair physics: phi energy, rho accumulation, pair force.
+
+    ``u_form`` evaluators (cheb, spline) return (1/r) df/dr directly, so
+    the pair kernel needs neither a sqrt nor a divide.
+    """
     fused = getattr(eval_phi, "fused", None)
+    u_form = getattr(eval_phi, "u_form", False)
 
     def pair1(r2, mask, sj, si):
-        rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
         if fused is not None:
             phi, dphi, rho, _ = fused(rr)
         else:
@@ -127,7 +163,8 @@ def make_pair1(eval_phi, eval_rho):
             rho, _ = eval_rho(r2, rr)
         phi = jnp.where(mask, phi, 0.0)
         rho = jnp.where(mask, rho, 0.0)
-        fcoef = jnp.where(mask, -dphi / rr, 0.0)  # f_i -= dPhi * dr/r
+        # f_i -= dPhi * dr/r
+        fcoef = jnp.where(mask, -dphi if u_form else -dphi / rr, 0.0)
         return fcoef, [phi, rho]
 
     return pair1
@@ -135,10 +172,13 @@ def make_pair1(eval_phi, eval_rho):
 
 def make_pair3(eval_rho):
     """Pass-3 per-pair physics: embedding force term."""
+    u_form = getattr(eval_rho, "u_form", False)
+
     def pair3(r2, mask, sj, si):
-        rr = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
         _, drho = eval_rho(r2, rr)
-        fcoef = jnp.where(mask, -(si[0] + sj[0]) * drho / rr, 0.0)
+        scale = drho if u_form else drho / rr
+        fcoef = jnp.where(mask, -(si[0] + sj[0]) * scale, 0.0)
         return fcoef, []
 
     return pair3
@@ -159,15 +199,15 @@ def eam_force(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+    eval_f = make_f_eval(pot, dtype, interp_impl)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
     pair1 = make_pair1(eval_phi, eval_rho)
     f1, (phi_sum, rhobar_l) = cell_pair_sweep(geom, r, pair1, rcut2, chunk=chunk)
 
     # ---- pass 2: embedding term (eam.c:351-366) ----
-    f_emb, df_emb_l = _interp(f_dev, pot.f, rhobar_l)
+    f_emb, df_emb_l = eval_f(rhobar_l)
     # zero out empty slots: rhobar==0 there, but F(0) may be nonzero;
     # mask by "participated in any pair OR occupies a slot" -- an atom with
     # zero neighbors still gets F(0), matching the reference loop over real
@@ -215,8 +255,8 @@ def eam_force_half(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+    eval_f = make_f_eval(pot, dtype, interp_impl)
 
     f1d, (phi_d, rho_d) = cell_pair_sweep_half(
         geom, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
@@ -224,7 +264,7 @@ def eam_force_half(
     phi_sum = fold(phi_d)
     rhobar_l = fold(rho_d)
 
-    f_emb, df_emb_l = _interp(f_dev, pot.f, rhobar_l)
+    f_emb, df_emb_l = eval_f(rhobar_l)
     u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
@@ -256,14 +296,14 @@ def eam_force_pallas(
     from .pallas.stencil import eam_pass1_stencil, eam_pass3_stencil
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
-    f_dev = pot.f.stencil_device(dtype)
+    eval_f = make_f_eval(pot, dtype, "twolevel")
 
     f1, phi_sum, rhobar_l = eam_pass1_stencil(
         geom, pot, r, chunk=chunk, interpret=interpret)
 
     # pass 2 (eam.c:351-366) -- per-atom, 27x fewer lookups than the pair
-    # passes; exact row-stencil interpolation
-    f_emb, df_emb_l = _interp(f_dev, pot.f, rhobar_l.astype(dtype))
+    # passes; exact two-level lookup
+    f_emb, df_emb_l = eval_f(rhobar_l.astype(dtype))
     u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
@@ -296,14 +336,14 @@ def eam_force_nl(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+    eval_f = make_f_eval(pot, dtype, interp_impl)
 
     f1, (phi_rows, rho_rows) = nlmod.pair_sweep_nl(
         nlist, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
 
     # pass 2: embedding per row
-    f_emb, df_rows = _interp(f_dev, pot.f, rho_rows)
+    f_emb, df_rows = eval_f(rho_rows)
     u_rows = 0.5 * phi_rows.astype(e_dtype) + f_emb.astype(e_dtype)
     u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
     e_pot = jnp.sum(u_rows)
@@ -362,8 +402,8 @@ def eam_force_split(
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    f_dev = pot.f.stencil_device(dtype)
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+    eval_f = make_f_eval(pot, dtype, interp_impl)
     pair1 = make_pair1(eval_phi, eval_rho)
     pair3 = make_pair3(eval_rho)
     r_pre = r if r_pre is None else r_pre
@@ -375,8 +415,8 @@ def eam_force_split(
         geom, r, pair1, rcut2, chunk=chunk, boxes=boundary)
 
     # pass 2 per list
-    femb_i, dfe_i = _interp(f_dev, pot.f, rho_i)
-    femb_b, dfe_b = _interp(f_dev, pot.f, rho_b)
+    femb_i, dfe_i = eval_f(rho_i)
+    femb_b, dfe_b = eval_f(rho_b)
 
     u_raw = _scatter_lists(
         geom.n_local, interior, boundary,
