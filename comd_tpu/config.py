@@ -98,6 +98,12 @@ class Config:
                                 # of every step (strictly faster than the
                                 # reference's per-step redistribution; set
                                 # False or -S 0 for eager parity behavior)
+    energy_every_step: bool = False  # True: compute potential energy every
+                                # step inside scan blocks (the reference
+                                # kernels do); False (default): energy terms
+                                # only on the last step of each block --
+                                # identical dynamics, energy exact at every
+                                # reporting boundary (printRate cadence)
     nl_max_neighbors: int = 0   # 0 = auto-size from density; reference fixed
                                 # MAXNEIGHBORLISTSIZE=64 (defines.h:66) only
                                 # fits the EAM cutoff, not LJ 2.5*sigma

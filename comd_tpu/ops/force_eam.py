@@ -41,24 +41,40 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
     on TPU, <=1 ulp difference; see tables.interpolate_twolevel).
     """
     if impl == "cheb" and not spline:
-        # gather-free FMA-chain lookup (tables.ChebTable); coefficients are
+        # gather-free FMA-chain lookup (tables.ChebFused); coefficients are
         # trace-time constants, so the evaluators compile into pure VPU
         # arithmetic with zero memory operands -- the fastest TPU path.
+        # One shared basis recurrence (in the fit's transformed coordinate)
+        # feeds phi, phi', rho, rho' as coefficient FMAs.
         # u_form: the derivative comes back as (1/r) df/dr (native to the
         # r^2-domain fit), so the pair kernels need NO sqrt and NO divide.
-        phi_c = pot.cheb_phi
-        rho_c = pot.cheb_rho
+        fz = pot.cheb_pair
+
+        def pair1_eval(r2, want_energy):
+            """(phi|None, dphi, rho) -- the exact pass-1 output set."""
+            wants = ([("phi", "val")] if want_energy else []) + \
+                [("phi", "der"), ("rho", "val")]
+            outs = tables.eval_cheb_fused(fz, r2, wants)
+            if want_energy:
+                return outs[0], outs[1], outs[2]
+            return None, outs[0], outs[1]
+
+        def pair3_eval(r2):
+            (drho,) = tables.eval_cheb_fused(fz, r2, [("rho", "der")])
+            return drho
 
         def eval_phi(r2, rr):
-            return tables.interpolate_cheb(
-                phi_c.coef, phi_c.dcoef, phi_c.u_lo, phi_c.u_hi, r2, None)
+            return tuple(tables.eval_cheb_fused(
+                fz, r2, [("phi", "val"), ("phi", "der")]))
 
         def eval_rho(r2, rr):
-            return tables.interpolate_cheb(
-                rho_c.coef, rho_c.dcoef, rho_c.u_lo, rho_c.u_hi, r2, None)
+            return tuple(tables.eval_cheb_fused(
+                fz, r2, [("rho", "val"), ("rho", "der")]))
 
         eval_phi.u_form = True
         eval_rho.u_form = True
+        eval_phi.pair1_eval = pair1_eval
+        eval_rho.pair3_eval = pair3_eval
         return eval_phi, eval_rho
 
     if impl == "twolevel" and not spline:
@@ -145,27 +161,36 @@ def make_f_eval(pot: EamPotential, dtype, impl: str):
     return lambda rho: _interp(f_dev, pot.f, rho)
 
 
-def make_pair1(eval_phi, eval_rho):
+def make_pair1(eval_phi, eval_rho, want_energy: bool = True):
     """Pass-1 per-pair physics: phi energy, rho accumulation, pair force.
 
     ``u_form`` evaluators (cheb, spline) return (1/r) df/dr directly, so
-    the pair kernel needs neither a sqrt nor a divide.
+    the pair kernel needs neither a sqrt nor a divide.  With
+    ``want_energy=False`` the phi-value chain (needed only for reporting,
+    not for dynamics) is skipped entirely -- scalars are then just [rho].
     """
     fused = getattr(eval_phi, "fused", None)
+    p1e = getattr(eval_phi, "pair1_eval", None)
     u_form = getattr(eval_phi, "u_form", False)
 
     def pair1(r2, mask, sj, si):
-        rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
-        if fused is not None:
-            phi, dphi, rho, _ = fused(rr)
+        if p1e is not None:
+            rr = None
+            phi, dphi, rho = p1e(r2, want_energy)
         else:
-            phi, dphi = eval_phi(r2, rr)
-            rho, _ = eval_rho(r2, rr)
-        phi = jnp.where(mask, phi, 0.0)
+            rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
+            if fused is not None:
+                phi, dphi, rho, _ = fused(rr)
+            else:
+                phi, dphi = eval_phi(r2, rr)
+                rho, _ = eval_rho(r2, rr)
         rho = jnp.where(mask, rho, 0.0)
         # f_i -= dPhi * dr/r
         fcoef = jnp.where(mask, -dphi if u_form else -dphi / rr, 0.0)
-        return fcoef, [phi, rho]
+        scalars = [rho]
+        if want_energy:
+            scalars.insert(0, jnp.where(mask, phi, 0.0))
+        return fcoef, scalars
 
     return pair1
 
@@ -173,11 +198,15 @@ def make_pair1(eval_phi, eval_rho):
 def make_pair3(eval_rho):
     """Pass-3 per-pair physics: embedding force term."""
     u_form = getattr(eval_rho, "u_form", False)
+    p3e = getattr(eval_rho, "pair3_eval", None)
 
     def pair3(r2, mask, sj, si):
-        rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
-        _, drho = eval_rho(r2, rr)
-        scale = drho if u_form else drho / rr
+        if p3e is not None:
+            scale = p3e(r2)
+        else:
+            rr = None if u_form else jnp.sqrt(jnp.where(mask, r2, 1.0))
+            _, drho = eval_rho(r2, rr)
+            scale = drho if u_form else drho / rr
         fcoef = jnp.where(mask, -(si[0] + sj[0]) * scale, 0.0)
         return fcoef, []
 
@@ -194,8 +223,13 @@ def eam_force(
     chunk: int = 256,
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
+    want_energy: bool = True,
 ):
-    """Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A])."""
+    """Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
+
+    ``want_energy=False`` (dynamics-only steps between reporting
+    boundaries) skips the phi-value work and returns U_raw=None.
+    """
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
@@ -203,8 +237,9 @@ def eam_force(
     eval_f = make_f_eval(pot, dtype, interp_impl)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
-    pair1 = make_pair1(eval_phi, eval_rho)
-    f1, (phi_sum, rhobar_l) = cell_pair_sweep(geom, r, pair1, rcut2, chunk=chunk)
+    pair1 = make_pair1(eval_phi, eval_rho, want_energy)
+    f1, scal = cell_pair_sweep(geom, r, pair1, rcut2, chunk=chunk)
+    phi_sum, rhobar_l = scal if want_energy else (None, scal[0])
 
     # ---- pass 2: embedding term (eam.c:351-366) ----
     f_emb, df_emb_l = eval_f(rhobar_l)
@@ -215,7 +250,8 @@ def eam_force(
     # gid-independent occupancy mask supplied via rhobar trick is unsafe, so
     # the caller masks U/dfEmbed by slot validity. Here we compute raw values.
 
-    u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+    u = (0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+         if want_energy else None)
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
@@ -241,6 +277,7 @@ def eam_force_half(
     chunk: int = 512,
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
+    want_energy: bool = True,
 ):
     """Three-pass EAM with Newton's-3rd-law half sweeps for passes 1 and 3.
 
@@ -258,14 +295,16 @@ def eam_force_half(
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     eval_f = make_f_eval(pot, dtype, interp_impl)
 
-    f1d, (phi_d, rho_d) = cell_pair_sweep_half(
-        geom, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
+    f1d, scal_d = cell_pair_sweep_half(
+        geom, r, make_pair1(eval_phi, eval_rho, want_energy), rcut2,
+        chunk=chunk)
+    phi_d, rho_d = scal_d if want_energy else (None, scal_d[0])
     f1 = fold(f1d)
-    phi_sum = fold(phi_d)
     rhobar_l = fold(rho_d)
 
     f_emb, df_emb_l = eval_f(rhobar_l)
-    u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+    u = (0.5 * fold(phi_d).astype(e_dtype) + f_emb.astype(e_dtype)
+         if want_energy else None)
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
@@ -325,6 +364,7 @@ def eam_force_nl(
     chunk: int = 2048,
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
+    want_energy: bool = True,
 ):
     """EAM via Verlet neighbor list (thread_atom_nl / warp_atom_nl analog).
 
@@ -339,14 +379,19 @@ def eam_force_nl(
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     eval_f = make_f_eval(pot, dtype, interp_impl)
 
-    f1, (phi_rows, rho_rows) = nlmod.pair_sweep_nl(
-        nlist, r, make_pair1(eval_phi, eval_rho), rcut2, chunk=chunk)
+    f1, scal = nlmod.pair_sweep_nl(
+        nlist, r, make_pair1(eval_phi, eval_rho, want_energy), rcut2,
+        chunk=chunk)
+    phi_rows, rho_rows = scal if want_energy else (None, scal[0])
 
     # pass 2: embedding per row
     f_emb, df_rows = eval_f(rho_rows)
-    u_rows = 0.5 * phi_rows.astype(e_dtype) + f_emb.astype(e_dtype)
-    u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
-    e_pot = jnp.sum(u_rows)
+    if want_energy:
+        u_rows = 0.5 * phi_rows.astype(e_dtype) + f_emb.astype(e_dtype)
+        u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
+        e_pot = jnp.sum(u_rows)
+    else:
+        e_pot = None
 
     df_embed = nlmod.scatter_rows(
         nlist, jnp.where(nlist.a_valid, df_rows, 0.0).astype(dtype), B, A)
@@ -387,6 +432,7 @@ def eam_force_split(
     chunk: int = 256,
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
+    want_energy: bool = True,
 ):
     """EAM force with the interior/boundary split (the gpuAsync capability).
 
@@ -404,15 +450,17 @@ def eam_force_split(
     rcut2 = pot.cutoff * pot.cutoff
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     eval_f = make_f_eval(pot, dtype, interp_impl)
-    pair1 = make_pair1(eval_phi, eval_rho)
+    pair1 = make_pair1(eval_phi, eval_rho, want_energy)
     pair3 = make_pair3(eval_rho)
     r_pre = r if r_pre is None else r_pre
 
     # pass 1: interior on pre-exchange positions, boundary on final ones
-    f1_i, (phi_i, rho_i) = cell_pair_sweep(
+    f1_i, scal_i = cell_pair_sweep(
         geom, r_pre, pair1, rcut2, chunk=chunk, boxes=interior)
-    f1_b, (phi_b, rho_b) = cell_pair_sweep(
+    f1_b, scal_b = cell_pair_sweep(
         geom, r, pair1, rcut2, chunk=chunk, boxes=boundary)
+    phi_i, rho_i = scal_i if want_energy else (None, scal_i[0])
+    phi_b, rho_b = scal_b if want_energy else (None, scal_b[0])
 
     # pass 2 per list
     femb_i, dfe_i = eval_f(rho_i)
@@ -421,7 +469,8 @@ def eam_force_split(
     u_raw = _scatter_lists(
         geom.n_local, interior, boundary,
         0.5 * phi_i.astype(e_dtype) + femb_i.astype(e_dtype),
-        0.5 * phi_b.astype(e_dtype) + femb_b.astype(e_dtype))
+        0.5 * phi_b.astype(e_dtype) + femb_b.astype(e_dtype)) \
+        if want_energy else None
 
     df_local = jnp.zeros((B, A), dtype=dtype)
     df_local = df_local.at[:geom.n_local].set(_scatter_lists(

@@ -22,8 +22,12 @@ from ..potentials import tables
 from .sweep import cell_pair_sweep
 
 
-def make_lj_pair_fn(pot: LjPotential, dtype):
-    """Per-pair LJ physics shared by the cell-sweep and NL paths."""
+def make_lj_pair_fn(pot: LjPotential, dtype, want_energy: bool = True):
+    """Per-pair LJ physics shared by the cell-sweep and NL paths.
+
+    ``want_energy=False`` skips the pair-energy terms (reporting only, not
+    dynamics) -- scalars come back empty.
+    """
     s6 = dtype.type(pot.s6)
     eps = dtype.type(pot.epsilon)
     e_shift = dtype.type(pot.e_shift)
@@ -31,31 +35,35 @@ def make_lj_pair_fn(pot: LjPotential, dtype):
     def pair_fn(r2, mask, sj, si):
         inv_r2 = jnp.where(mask, 1.0 / jnp.where(mask, r2, 1.0), 0.0)
         r6 = (s6 * inv_r2) * (inv_r2 * inv_r2)
-        e = jnp.where(mask, r6 * (r6 - 1.0) - e_shift, 0.0)
         # f_i += fcoef * (r_i - r_j); reference: ifx -= drx*fr with
         # fr = -4*eps*r6*inv_r2*(12*r6 - 6)   (ljForce.c:229-233)
         fcoef = 4.0 * eps * r6 * inv_r2 * (12.0 * r6 - 6.0)
         fcoef = jnp.where(mask, fcoef, 0.0)
+        if not want_energy:
+            return fcoef, []
+        e = jnp.where(mask, r6 * (r6 - 1.0) - e_shift, 0.0)
         return fcoef, [e]
 
     return pair_fn
 
 
 def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
-             e_dtype=jnp.float64):
+             e_dtype=jnp.float64, want_energy: bool = True):
     """Compute (force [3, n_local, A], U [n_local, A], ePot scalar)."""
     rcut2 = pot.cutoff * pot.cutoff
-    pair_fn = make_lj_pair_fn(pot, r.dtype)
-    force, (u,) = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk)
+    pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
+    force, scal = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk)
+    if not want_energy:
+        return force, None, None
     # each pair counted twice in the full sweep -> x0.5, then the global
     # 4*epsilon scaling (ljForce.c:256-261)
-    u = (0.5 * 4.0 * pot.epsilon) * u.astype(e_dtype)
+    u = (0.5 * 4.0 * pot.epsilon) * scal[0].astype(e_dtype)
     e_pot = jnp.sum(u)
     return force, u.astype(r.dtype), e_pot
 
 
 def lj_force_half(geom: CellGeometry, pot: LjPotential, r, fold, *,
-                  chunk=512, e_dtype=jnp.float64):
+                  chunk=512, e_dtype=jnp.float64, want_energy: bool = True):
     """LJ via the Newton's-3rd-law half sweep (each pair evaluated once,
     j-side delivered by overlap-add; see sweep.cell_pair_sweep_half).
 
@@ -64,10 +72,12 @@ def lj_force_half(geom: CellGeometry, pot: LjPotential, r, fold, *,
     Returns (force [3, n_local, A], U [n_local, A], ePot)."""
     from .sweep import cell_pair_sweep_half
     rcut2 = pot.cutoff * pot.cutoff
-    pair_fn = make_lj_pair_fn(pot, r.dtype)
-    force, (u,) = cell_pair_sweep_half(geom, r, pair_fn, rcut2, chunk=chunk)
+    pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
+    force, scal = cell_pair_sweep_half(geom, r, pair_fn, rcut2, chunk=chunk)
     force = fold(force)
-    u = fold(u)
+    if not want_energy:
+        return force, None, None
+    u = fold(scal[0])
     # the half sweep delivers e to both sides of each pair, so the atom sum
     # double-counts pairs exactly as the full sweep does -> same 0.5 * 4eps
     u = (0.5 * 4.0 * pot.epsilon) * u.astype(e_dtype)
@@ -129,7 +139,7 @@ def lj_force_split(geom: CellGeometry, pot: LjPotential, r, interior,
 
 
 def lj_force_nl(nlist, pot: LjPotential, r, *, chunk=2048,
-                e_dtype=jnp.float64):
+                e_dtype=jnp.float64, want_energy: bool = True):
     """LJ via Verlet neighbor list (thread_atom_nl / -L pairlist analog).
 
     Returns (force [3, B, A], U [B, A], ePot).  Reference NL force:
@@ -138,12 +148,14 @@ def lj_force_nl(nlist, pot: LjPotential, r, *, chunk=2048,
     from . import neighborlist as nlmod
     B, A = r.shape[1], r.shape[2]
     rcut2 = pot.cutoff * pot.cutoff
-    pair_fn = make_lj_pair_fn(pot, r.dtype)
-    f_rows, (u_rows,) = nlmod.pair_sweep_nl(
+    pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
+    f_rows, scal = nlmod.pair_sweep_nl(
         nlist, r, pair_fn, rcut2, chunk=chunk)
-    u_rows = (0.5 * 4.0 * pot.epsilon) * u_rows.astype(e_dtype)
+    force = nlmod.scatter_rows(nlist, f_rows, B, A)
+    if not want_energy:
+        return force, None, None
+    u_rows = (0.5 * 4.0 * pot.epsilon) * scal[0].astype(e_dtype)
     u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
     e_pot = jnp.sum(u_rows)
-    force = nlmod.scatter_rows(nlist, f_rows, B, A)
     u = nlmod.scatter_rows(nlist, u_rows.astype(r.dtype), B, A)
     return force, u, e_pot

@@ -251,22 +251,21 @@ def eam_pass1_stencil(geom: CellGeometry, pot, r, *, chunk: int = 512,
                       cb: int = 128, interpret: bool = False):
     """EAM pass 1 (gpu_eam_cta_cell.h:34-75 analog): pair energy, electron
     density accumulation and pair force, with the phi/rho table lookups as
-    in-kernel Chebyshev FMA chains (see potentials/tables.ChebTable).
+    the in-kernel shared-basis Chebyshev evaluator (tables.ChebFused --
+    the same representation as the XLA cheb sweep, so the two paths agree
+    to fp-reassociation).
 
     Returns (f1 [3, n_local, A], phi_sum [n_local, A], rhobar [n_local, A]).
     """
-    chp, chr_ = pot.cheb_phi, pot.cheb_rho
+    from ...potentials import tables
+    fz = pot.cheb_pair
     rcut2 = np.float32(pot.cutoff * pot.cutoff)
-    dt = jnp.dtype(jnp.float32)
 
     def pair(r2, sji, sjj):
         mask = (r2 <= rcut2) & (r2 > 0)
-        t2p = _cheb_t2(chp, r2)
-        phi = _clenshaw(chp.coef, t2p, dt)
-        dphidu = _clenshaw(chp.dcoef, t2p, dt)
-        t2r = _cheb_t2(chr_, r2)
-        rho = _clenshaw(chr_.coef, t2r, dt)
-        fc = jnp.where(mask, np.float32(-2.0) * dphidu, 0.0)
+        phi, dphi, rho = tables.eval_cheb_fused(
+            fz, r2, [("phi", "val"), ("phi", "der"), ("rho", "val")])
+        fc = jnp.where(mask, -dphi, 0.0)
         return fc, [jnp.where(mask, phi, 0.0), jnp.where(mask, rho, 0.0)]
 
     f1, (phi_sum, rhobar) = stencil_sweep(
@@ -278,20 +277,19 @@ def eam_pass3_stencil(geom: CellGeometry, pot, r, df_embed, *,
                       chunk: int = 512, cb: int = 128,
                       interpret: bool = False):
     """EAM pass 3: embedding force  f_i -= (dfe_i + dfe_j) * rho'(r) * rhat,
-    expressed gather-free as fc = -(dfe_i + dfe_j) * 2 * dRho/du.
+    expressed gather-free as fc = -(dfe_i + dfe_j) * (1/r) dRho/dr.
 
     ``df_embed`` is the halo-exchanged [B, A] dfEmbed field (eam.c:374-413).
     Returns f3 [3, n_local, A].
     """
-    chr_ = pot.cheb_rho
+    from ...potentials import tables
+    fz = pot.cheb_pair
     rcut2 = np.float32(pot.cutoff * pot.cutoff)
-    dt = jnp.dtype(jnp.float32)
 
     def pair(r2, sji, sjj):
         mask = (r2 <= rcut2) & (r2 > 0)
-        t2r = _cheb_t2(chr_, r2)
-        drhodu = _clenshaw(chr_.dcoef, t2r, dt)
-        fc = jnp.where(mask, -(sji + sjj) * (np.float32(2.0) * drhodu), 0.0)
+        (drho,) = tables.eval_cheb_fused(fz, r2, [("rho", "der")])
+        fc = jnp.where(mask, -(sji + sjj) * drho, 0.0)
         return fc, []
 
     f3, _ = stencil_sweep(geom, r, pair, scalar_j=df_embed, n_scalars=0,

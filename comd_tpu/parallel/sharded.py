@@ -106,7 +106,7 @@ class ShardedSimulation:
 
     # ---------------- per-shard physics (runs inside shard_map) ----------
 
-    def _force_fn(self):
+    def _force_fn(self, want_energy: bool = True):
         cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
@@ -129,17 +129,22 @@ class ShardedSimulation:
                         geom, pot, r, fill, interior, boundary,
                         r_pre=r_pre, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
-                        interp_impl=cfg.resolved_interp_impl)
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
                 elif use_half:
                     f_loc, u_raw, _dfe = force_eam.eam_force_half(
                         geom, pot, r, fill, fold, spline=cfg.spline,
                         chunk=chunk, e_dtype=e_dtype,
-                        interp_impl=cfg.resolved_interp_impl)
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
-                        interp_impl=cfg.resolved_interp_impl)
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
+                if u_raw is None:
+                    return f_loc, None
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
@@ -157,18 +162,23 @@ class ShardedSimulation:
                         chunk=chunk, e_dtype=e_dtype)
                 elif use_half:
                     f_loc, _u, e_pot = force_lj.lj_force_half(
-                        geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype)
-                else:
+                        geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype,
+                        want_energy=want_energy)
+                elif cfg.lj_interpolation:
                     f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
                                              e_dtype=e_dtype)
+                else:
+                    f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
+                                             e_dtype=e_dtype,
+                                             want_energy=want_energy)
                 return f_loc, e_pot
         return force
 
-    def _shard_step(self):
+    def _shard_step(self, want_energy: bool = True):
         cfg, geom, plan = self.cfg, self.geom, self.plan
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn()
+        force = self._force_fn(want_energy)
         n_local_boxes = geom.n_local
 
         use_async = bool(cfg.gpu_async)
@@ -189,7 +199,8 @@ class ShardedSimulation:
             f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
                 f_loc.astype(state.f.dtype))
             p = p + p.dtype.type(0.5 * dt) * f
-            e_pot = jax.lax.psum(e_pot, ("x", "y", "z"))
+            e_pot = (state.e_potential if e_pot is None
+                     else jax.lax.psum(e_pot, ("x", "y", "z")))
             n_local = jax.lax.psum(
                 jnp.sum(n_atoms[:n_local_boxes]), ("x", "y", "z"))
             return SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
@@ -199,12 +210,15 @@ class ShardedSimulation:
 
         return step
 
-    def _wrap(self, per_shard_fn, n_steps=None, carry: str = "sim"):
+    def _wrap(self, per_shard_fn, n_steps=None, carry: str = "sim",
+              final_fn=None):
         """shard_map a per-shard carry->carry function over the mesh.
 
         Works for SimState ("sim") and NLSimState ("nl") carries: array
         leaves are sharded P('x','y','z') with [1,1,1] block dims,
-        replicated scalars pass through.
+        replicated scalars pass through.  With ``final_fn``, the block runs
+        n_steps-1 iterations of ``per_shard_fn`` followed by one
+        ``final_fn`` (the energy-reporting step of a lazy-energy block).
         """
         spec = self._spec
 
@@ -213,8 +227,12 @@ class ShardedSimulation:
             if n_steps is None:
                 out = per_shard_fn(inner, None)[0]
             else:
-                out, _ = jax.lax.scan(per_shard_fn, inner, None,
-                                      length=n_steps)
+                k = n_steps - (1 if final_fn is not None else 0)
+                if k:
+                    inner, _ = jax.lax.scan(per_shard_fn, inner, None,
+                                            length=k)
+                out = final_fn(inner, None)[0] if final_fn is not None \
+                    else inner
             return _expand(out)
 
         sim_specs = SimState(
@@ -248,7 +266,7 @@ class ShardedSimulation:
         return dict(k=k, rcut2=rcut_nl ** 2, n_rows=n_rows,
                     chunk=cfg.nl_chunk)
 
-    def _force_fn_nl(self):
+    def _force_fn_nl(self, want_energy: bool = True):
         cfg, pot, geom, plan = self.cfg, self.pot, self.geom, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.nl_chunk
@@ -258,20 +276,22 @@ class ShardedSimulation:
                 fill = functools.partial(exchange.exchange_scalar, plan, geom)
                 f_full, e_pot, _dfe = force_eam.eam_force_nl(
                     nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
+                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl,
+                    want_energy=want_energy)
                 return f_full, e_pot
         else:
             def force(nlist, r, n_atoms):
                 f_full, _u, e_pot = force_lj.lj_force_nl(
-                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype)
+                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype,
+                    want_energy=want_energy)
                 return f_full, e_pot
         return force
 
-    def _shard_step_nl(self):
+    def _shard_step_nl(self, want_energy: bool = True):
         cfg, geom, plan = self.cfg, self.geom, self.plan
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn_nl()
+        force = self._force_fn_nl(want_energy)
         skin = self.skin
         params = self._nl_build_params()
         n_local_boxes = geom.n_local
@@ -306,7 +326,8 @@ class ShardedSimulation:
             f, e_pot = force(nl, r, n_atoms)
             f = f.astype(s.f.dtype)
             p = p + p.dtype.type(0.5 * dt) * f
-            e_pot = jax.lax.psum(e_pot, axes)
+            e_pot = (s.e_potential if e_pot is None
+                     else jax.lax.psum(e_pot, axes))
             n_local = jax.lax.psum(jnp.sum(n_atoms[:n_local_boxes]), axes)
             return NLSimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
@@ -317,7 +338,7 @@ class ShardedSimulation:
 
         return step
 
-    def _shard_step_lazy(self):
+    def _shard_step_lazy(self, want_energy: bool = True):
         """Lazy-shell cell stepping over the mesh: full redistribution
         (rebucket + staged atom exchange + canonical sort) only on the
         psum'd skin/2 trigger; otherwise a slot-aligned ghost-position
@@ -326,7 +347,7 @@ class ShardedSimulation:
         cfg, geom, plan = self.cfg, self.geom, self.plan
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn()
+        force = self._force_fn(want_energy)
         skin = self.skin
         n_local_boxes = geom.n_local
         axes = ("x", "y", "z")
@@ -368,7 +389,8 @@ class ShardedSimulation:
             f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
                 f_loc.astype(s.f.dtype))
             p = p + p.dtype.type(0.5 * dt) * f
-            e_pot = jax.lax.psum(e_pot, axes)
+            e_pot = (s.e_potential if e_pot is None
+                     else jax.lax.psum(e_pot, axes))
             n_local = jax.lax.psum(jnp.sum(n_atoms[:n_local_boxes]), axes)
             return LazySimState(
                 sim=SimState(r=r, p=p, f=f, gid=gid, n_atoms=n_atoms,
@@ -412,14 +434,17 @@ class ShardedSimulation:
 
     def step_block(self, n_steps: int) -> None:
         if n_steps not in self._step_block:
-            if self.uses_nl:
-                fn = self._wrap(self._shard_step_nl(), n_steps=n_steps,
-                                carry="nl")
-            elif self.uses_lazy:
-                fn = self._wrap(self._shard_step_lazy(), n_steps=n_steps,
-                                carry="lazy")
+            make, carry = (
+                (self._shard_step_nl, "nl") if self.uses_nl else
+                (self._shard_step_lazy, "lazy") if self.uses_lazy else
+                (self._shard_step, "sim"))
+            if n_steps == 1 or self.cfg.energy_every_step:
+                fn = self._wrap(make(), n_steps=n_steps, carry=carry)
             else:
-                fn = self._wrap(self._shard_step(), n_steps=n_steps)
+                # energy terms only on the block's last step (see
+                # sim.Simulation.step_block)
+                fn = self._wrap(make(want_energy=False), n_steps=n_steps,
+                                carry=carry, final_fn=make())
             self._step_block[n_steps] = fn
         if self.uses_nl:
             out = self._step_block[n_steps](

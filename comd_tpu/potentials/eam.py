@@ -48,6 +48,14 @@ class EamPotential:
         from .tables import make_cheb
         return make_cheb(self.rho, self.CHEB_R_LO, self.cutoff)
 
+    @functools.cached_property
+    def cheb_pair(self):
+        """Shared-basis fit of (phi, rho): one basis recurrence feeds all
+        four pair-pass outputs (tables.ChebFused)."""
+        from .tables import make_cheb_fused
+        return make_cheb_fused({"phi": self.phi, "rho": self.rho},
+                               self.CHEB_R_LO, self.cutoff)
+
     def describe(self) -> list[tuple[str, str]]:
         return [
             ("Potential type", "EAM"),

@@ -203,6 +203,24 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
     return outs
 
 
+def _sample_reference(tab: InterpTable, r: np.ndarray):
+    """Reference quadratic interpolation (eam.c:557-579), f64 numpy.
+
+    Returns (f, df/dr) on the sample points ``r`` -- the fit target for the
+    Chebyshev representations below.
+    """
+    rc = np.maximum(r, tab.x0)
+    rr = (rc - tab.x0) * tab.inv_dx
+    ii = np.minimum(np.floor(rr).astype(np.int64), tab.n)
+    frac = np.where(ii > tab.n, 0.0, rr - np.floor(rr))
+    pad4 = np.concatenate([tab.padded, tab.padded[-1:]])
+    tm1, t0, t1, t2 = (pad4[ii + k] for k in range(4))
+    g1, g2 = t1 - tm1, t2 - t0
+    f = t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0))
+    df = 0.5 * (g1 + frac * (g2 - g1)) * tab.inv_dx
+    return f, df
+
+
 @dataclasses.dataclass(frozen=True)
 class ChebTable:
     """Single-interval Chebyshev-in-r^2 representation of an InterpTable.
@@ -248,16 +266,7 @@ def make_cheb(tab: InterpTable, r_lo: float, r_hi: float,
     u_lo, u_hi = float(r_lo) ** 2, float(r_hi) ** 2
     u = np.linspace(u_lo, u_hi, n_sample)
     r = np.sqrt(u)
-    # reference quadratic interpolation, f64 numpy (same math as interpolate)
-    rc = np.maximum(r, tab.x0)
-    rr = (rc - tab.x0) * tab.inv_dx
-    ii = np.minimum(np.floor(rr).astype(np.int64), tab.n)
-    frac = np.where(ii > tab.n, 0.0, rr - np.floor(rr))
-    pad4 = np.concatenate([tab.padded, tab.padded[-1:]])
-    tm1, t0, t1, t2 = (pad4[ii + k] for k in range(4))
-    g1, g2 = t1 - tm1, t2 - t0
-    f_ref = t0 + 0.5 * frac * (g1 + frac * (t1 + tm1 - 2.0 * t0))
-    df_ref = 0.5 * (g1 + frac * (g2 - g1)) * tab.inv_dx   # df/dr
+    f_ref, df_ref = _sample_reference(tab, r)   # (f, df/dr)
 
     degrees = (deg,) if deg is not None else (16, 20, 24, 32)
     best = None
@@ -300,6 +309,158 @@ def interpolate_cheb(coef, dcoef, u_lo: float, u_hi: float, r2, rr=None):
     if rr is None:
         return f, 2.0 * dfdu
     return f, 2.0 * rr * dfdu
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebFused:
+    """Shared-basis Chebyshev fit of several same-domain tables.
+
+    The EAM pair passes need up to four table evaluations per pair (phi,
+    phi', rho, rho'): as four independent Clenshaw chains that is ~2 FMA
+    per degree per output.  Fitting every table in ONE transformed
+    coordinate w = T(u), u = r^2, at ONE shared degree lets the kernel run
+    a single basis recurrence T_k(t) = 2t*T_{k-1} - T_{k-2} (1 FMA/degree)
+    and accumulate each output as coefficient FMAs (1 FMA/degree/output) --
+    ~40% fewer VPU ops at 3-4 outputs.
+
+    The transform matters more: the physical tables decay exponentially in
+    r, so in w = 1/u the Cu funcfl tables fit at degree 8-12 where u = r^2
+    needs 16-20 (measured; the setfl Mishin tables carry spline-knot wiggle
+    and prefer w = log u).  ``make_cheb_fused`` picks the cheapest
+    (transform, degree) meeting tolerance for ALL tables.
+
+    Derivatives come back as (1/r) df/dr = 2 * dP/dw * dw/du -- the exact
+    gradient of the returned value (conservation by construction), with no
+    sqrt or divide-by-r anywhere in the pair kernel.
+    """
+
+    transform: str     # "u" | "inv_u" | "log_u"
+    u_lo: float
+    u_hi: float
+    w_lo: float
+    w_hi: float
+    deg: int
+    coef: dict         # name -> np.ndarray [deg+1] (value, in w domain)
+    dcoef: dict        # name -> np.ndarray [deg]   (dP/dw)
+
+
+_TRANSFORMS = {
+    "u": (lambda u: u, 0.0),
+    "inv_u": (lambda u: 1.0 / u, 1.0),       # dw/du = -w^2 (1 extra op)
+    "log_u": (lambda u: np.log(u), 9.0),     # log + reciprocal for dw/du
+}
+
+
+def make_cheb_fused(tabs: dict, r_lo: float, r_hi: float,
+                    tol_f: float = 2e-5, tol_df: float = 2e-3,
+                    n_sample: int = 100001) -> ChebFused:
+    """Fit all ``tabs`` (name -> InterpTable) with one shared basis.
+
+    Candidate (transform, degree) pairs are tried in ascending VPU-cost
+    order (cost ~ degree * (1 basis + n_out accs) + transform overhead);
+    the first meeting (tol_f, tol_df) for every table wins.  Falls back to
+    the most accurate candidate seen if none meets tolerance.
+    """
+    u_lo, u_hi = float(r_lo) ** 2, float(r_hi) ** 2
+    u = np.linspace(u_lo, u_hi, n_sample)
+    r = np.sqrt(u)
+    refs = {name: _sample_reference(tab, r) for name, tab in tabs.items()}
+    n_out = 2 * len(tabs)
+
+    cands = []
+    for tr, (fn, extra) in _TRANSFORMS.items():
+        for deg in (8, 10, 12, 14, 16, 20, 24, 32):
+            cands.append((deg * (1 + n_out) + extra, deg, tr))
+    cands.sort()
+
+    def dwdu_np(tr, w, u):
+        if tr == "u":
+            return np.ones_like(u)
+        if tr == "inv_u":
+            return -w * w
+        return 1.0 / u  # log_u
+
+    best = None        # (max_rel_excess, fused)
+    for _cost, deg, tr in cands:
+        fn, _ = _TRANSFORMS[tr]
+        w = fn(u)
+        dw = dwdu_np(tr, w, u)
+        w_lo, w_hi = float(np.min(w)), float(np.max(w))
+        coef, dcoef = {}, {}
+        worst = 0.0
+        for name, (f_ref, df_ref) in refs.items():
+            ch = np.polynomial.chebyshev.Chebyshev.fit(
+                w, f_ref, deg, domain=[w_lo, w_hi])
+            err_f = np.max(np.abs(ch(w) - f_ref)) / np.max(np.abs(f_ref))
+            err_df = np.max(np.abs(ch.deriv()(w) * dw * 2.0 * r - df_ref)) \
+                / np.max(np.abs(df_ref))
+            worst = max(worst, err_f / tol_f, err_df / tol_df)
+            coef[name] = np.asarray(ch.coef, np.float64)
+            dcoef[name] = np.asarray(ch.deriv().coef, np.float64)
+        fused = ChebFused(transform=tr, u_lo=u_lo, u_hi=u_hi,
+                          w_lo=w_lo, w_hi=w_hi, deg=deg,
+                          coef=coef, dcoef=dcoef)
+        if worst <= 1.0:
+            return fused
+        if best is None or worst < best[0]:
+            best = (worst, fused)
+    return best[1]
+
+
+def eval_cheb_fused(fz: ChebFused, r2, wants):
+    """Evaluate fused-basis outputs on u = r^2 arrays.
+
+    ``wants`` is a sequence of (name, kind) with kind 'val' or 'der';
+    returns the list of arrays in order.  'der' entries are
+    (1/r) * df/dr = 2 * df/du (the form pair kernels multiply by the
+    displacement vector -- no sqrt, no divide).
+
+    One basis recurrence serves every requested output; coefficients are
+    trace-time constants so XLA compiles this to pure VPU FMA chains with
+    zero memory operands.
+    """
+    dtype = r2.dtype
+    u = jnp.clip(r2, dtype.type(fz.u_lo), dtype.type(fz.u_hi))
+    uinv = None
+    if fz.transform == "u":
+        w = u
+    elif fz.transform == "inv_u":
+        uinv = 1.0 / u
+        w = uinv
+    else:  # log_u
+        uinv = 1.0 / u
+        w = jnp.log(u)
+
+    t = (w - dtype.type(0.5 * (fz.w_lo + fz.w_hi))) * dtype.type(
+        2.0 / (fz.w_hi - fz.w_lo))
+    t2 = t + t
+
+    keys = list(wants)
+    cs = [fz.coef[n] if k == "val" else fz.dcoef[n] for n, k in keys]
+    deg = max(len(c) for c in cs) - 1
+
+    # shared basis recurrence with inline accumulation
+    accs = [jnp.full_like(u, dtype.type(c[0])) for c in cs]
+    if deg >= 1:
+        accs = [a + dtype.type(c[1]) * t if len(c) > 1 else a
+                for a, c in zip(accs, cs)]
+    Tm1, Tk = jnp.ones_like(u), t
+    for k in range(2, deg + 1):
+        Tm1, Tk = Tk, t2 * Tk - Tm1
+        accs = [a + dtype.type(c[k]) * Tk if len(c) > k else a
+                for a, c in zip(accs, cs)]
+
+    if fz.transform == "u":
+        two_dwdu = dtype.type(2.0)
+    elif fz.transform == "inv_u":
+        two_dwdu = dtype.type(-2.0) * w * w
+    else:
+        two_dwdu = dtype.type(2.0) * uinv
+
+    outs = []
+    for (n, kind), a in zip(keys, accs):
+        outs.append(a if kind == "val" else two_dwdu * a)
+    return outs
 
 
 @dataclasses.dataclass(frozen=True)

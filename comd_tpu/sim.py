@@ -102,7 +102,12 @@ class Simulation:
 
     # ---------------- force + energy ----------------
 
-    def _force_fn(self):
+    def _force_fn(self, want_energy: bool = True):
+        """Build the force closure; ``want_energy=False`` builds the
+        dynamics-only variant (identical forces, no energy terms) used for
+        the steps between reporting boundaries -- the reporting cost then
+        amortizes over printRate like the reference's printThings cadence.
+        Paths without the skip (pallas, -I) just always return energy."""
         cfg, geom, pot = self.cfg, self.geom, self.pot
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
@@ -126,12 +131,16 @@ class Simulation:
                     f_loc, u_raw, _dfe = force_eam.eam_force_half(
                         geom, pot, r, fill, fold, spline=cfg.spline,
                         chunk=chunk, e_dtype=e_dtype,
-                        interp_impl=cfg.resolved_interp_impl)
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
-                        interp_impl=cfg.resolved_interp_impl)
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
+                if u_raw is None:
+                    return f_loc, None, None
                 A = r.shape[-1]
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (geom.n_local, A), 1)
@@ -147,22 +156,24 @@ class Simulation:
         elif use_half:
             def force(r, n_atoms):
                 return force_lj.lj_force_half(geom, pot, r, fold,
-                                              chunk=chunk, e_dtype=e_dtype)
-        else:
-            lj_fn = (force_lj.lj_force_interp if cfg.lj_interpolation
-                     else force_lj.lj_force)
-
+                                              chunk=chunk, e_dtype=e_dtype,
+                                              want_energy=want_energy)
+        elif cfg.lj_interpolation:
             def force(r, n_atoms):
-                f_loc, u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
-                                        e_dtype=e_dtype)
-                return f_loc, u, e_pot
+                return force_lj.lj_force_interp(geom, pot, r, chunk=chunk,
+                                                e_dtype=e_dtype)
+        else:
+            def force(r, n_atoms):
+                return force_lj.lj_force(geom, pot, r, chunk=chunk,
+                                         e_dtype=e_dtype,
+                                         want_energy=want_energy)
         return force
 
-    def _make_step(self):
+    def _make_step(self, want_energy: bool = True):
         cfg, geom = self.cfg, self.geom
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn()
+        force = self._force_fn(want_energy)
         extent = self.global_extent
         n_local_boxes = geom.n_local
 
@@ -182,6 +193,8 @@ class Simulation:
                 geom, r_l, gid, n_atoms)
             # forces
             f_loc, _u, e_pot = force(r_full, n_atoms)
+            if e_pot is None:
+                e_pot = state.e_potential
             f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
                 f_loc.astype(state.f.dtype))
             # second half kick
@@ -199,7 +212,7 @@ class Simulation:
 
     # ---------------- neighbor-list (_nl) machinery ----------------
 
-    def _force_fn_nl(self):
+    def _force_fn_nl(self, want_energy: bool = True):
         cfg, pot = self.cfg, self.pot
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.nl_chunk
@@ -210,12 +223,14 @@ class Simulation:
                 fill = functools.partial(binning.fill_halo_scalar_serial, geom)
                 f_full, e_pot, _dfe = force_eam.eam_force_nl(
                     nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl)
+                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl,
+                    want_energy=want_energy)
                 return f_full, e_pot
         else:
             def force(nlist, r, n_atoms):
                 f_full, _u, e_pot = force_lj.lj_force_nl(
-                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype)
+                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype,
+                    want_energy=want_energy)
                 return f_full, e_pot
         return force
 
@@ -248,11 +263,11 @@ class Simulation:
 
         self.nlist, self.state = build(self.state)
 
-    def _make_step_nl(self):
+    def _make_step_nl(self, want_energy: bool = True):
         cfg, geom = self.cfg, self.geom
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn_nl()
+        force = self._force_fn_nl(want_energy)
         ext = self.global_extent
         skin = self.skin
         params = self._nl_build_params()
@@ -281,6 +296,8 @@ class Simulation:
             r, p, gid, n_atoms, nl, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
             f, e_pot = force(nl, r, n_atoms)
+            if e_pot is None:
+                e_pot = s.e_potential
             f = f.astype(s.f.dtype)
             p = p + p.dtype.type(0.5 * dt) * f
             n_local = jnp.sum(n_atoms[:n_local_boxes]).astype(jnp.int32)
@@ -294,7 +311,7 @@ class Simulation:
 
     # ---------------- lazy-shell cell stepping ----------------
 
-    def _make_step_lazy(self):
+    def _make_step_lazy(self, want_energy: bool = True):
         """Cell-sweep step with the skin/2 rebucket trigger: the dense
         redistribution (sort + scatter + halo rebuild) runs only when some
         atom moved skin/2 since the last rebucket; other steps just refresh
@@ -303,7 +320,7 @@ class Simulation:
         cfg, geom = self.cfg, self.geom
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
-        force = self._force_fn()
+        force = self._force_fn(want_energy)
         ext = self.global_extent
         skin = self.skin
         n_local_boxes = geom.n_local
@@ -330,6 +347,8 @@ class Simulation:
             r, p, gid, n_atoms, last_r, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
             f_loc, _u, e_pot = force(r, n_atoms)
+            if e_pot is None:
+                e_pot = s.e_potential
             f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
                 f_loc.astype(s.f.dtype))
             p = p + p.dtype.type(0.5 * dt) * f
@@ -345,19 +364,34 @@ class Simulation:
     # ---------------- stepping ----------------
 
     def step_block(self, n_steps: int) -> None:
-        """Run n_steps of velocity-Verlet as one jitted lax.scan."""
-        if n_steps not in self._step_block:
-            if self.uses_nl:
-                step = self._make_step_nl()
-            elif self.uses_lazy:
-                step = self._make_step_lazy()
-            else:
-                step = self._make_step()
+        """Run n_steps of velocity-Verlet as one jitted lax.scan.
 
-            @jax.jit
-            def block(carry):
-                carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
-                return carry
+        Forces (the dynamics) are identical every step; the energy terms are
+        computed only on the LAST step of the block -- the block boundary IS
+        the reporting boundary (the reference likewise only consumes energy
+        every printRate steps, CoMD.c:146-162).  ``-e`` semantics unchanged:
+        ``sim.e_potential`` is exact at every block boundary.
+        """
+        if n_steps not in self._step_block:
+            make = (self._make_step_nl if self.uses_nl else
+                    self._make_step_lazy if self.uses_lazy else
+                    self._make_step)
+            step_full = make(want_energy=True)
+            if n_steps == 1 or self.cfg.energy_every_step:
+                @jax.jit
+                def block(carry):
+                    carry, _ = jax.lax.scan(step_full, carry, None,
+                                            length=n_steps)
+                    return carry
+            else:
+                step_fast = make(want_energy=False)
+
+                @jax.jit
+                def block(carry):
+                    carry, _ = jax.lax.scan(step_fast, carry, None,
+                                            length=n_steps - 1)
+                    carry, _ = step_full(carry, None)
+                    return carry
 
             self._step_block[n_steps] = block
         if self.uses_nl:

@@ -66,3 +66,47 @@ def test_cheb_trajectory_matches_rows():
     rb = np.asarray(b.state.r[:, :b.geom.n_local])
     valid = ra < 1e9
     assert np.max(np.abs(np.where(valid, ra - rb, 0.0))) < 1e-3
+
+
+def test_fused_matches_reference_interpolant():
+    """eval_cheb_fused (shared basis, transformed coordinate) meets the fit
+    tolerances vs the exact reference interpolant for both potentials."""
+    for pot_name, pot_type in (("Cu_u6.eam", "funcfl"),
+                               ("Cu01.eam.alloy", "setfl")):
+        pot = init_eam_pot("pots", pot_name, pot_type)
+        fz = pot.cheb_pair
+        r = np.linspace(pot.CHEB_R_LO + 0.01, pot.cutoff - 1e-6, 20001)
+        r2 = jnp.asarray(r ** 2, jnp.float32)
+        phi, dphi, rho, drho = tables.eval_cheb_fused(
+            fz, r2, [("phi", "val"), ("phi", "der"),
+                     ("rho", "val"), ("rho", "der")])
+        for name, tab, f, d in (("phi", pot.phi, phi, dphi),
+                                ("rho", pot.rho, rho, drho)):
+            f_ref, df_ref = tables.interpolate4(
+                tab.stencil_device(jnp.float64), tab.n, tab.x0, tab.inv_dx,
+                jnp.asarray(r))
+            f_ref = np.asarray(f_ref)
+            df_ref = np.asarray(df_ref)
+            # der contract: (1/r) * df/dr
+            df = np.asarray(d) * r
+            assert np.max(np.abs(np.asarray(f) - f_ref)) < \
+                1e-4 * np.max(np.abs(f_ref)), name
+            assert np.max(np.abs(df - df_ref)) < \
+                5e-3 * np.max(np.abs(df_ref)), name
+
+
+@pytest.mark.parametrize("doeam", [True, False])
+def test_lazy_energy_block_matches_full(doeam):
+    """Blocks with energy only on the last step produce bitwise-identical
+    trajectories AND the same boundary energy as energy-every-step blocks
+    (forces are identical; only reporting work is skipped)."""
+    kw = dict(nx=4, ny=4, nz=4, doeam=doeam, temperature=600.0,
+              dtype="float32", max_atoms=48, box_chunk=32, pot_dir="pots")
+    a = init_simulation(Config(energy_every_step=False, **kw))
+    b = init_simulation(Config(energy_every_step=True, **kw))
+    for _ in range(3):
+        a.step_block(7)
+        b.step_block(7)
+        assert float(a.state.e_potential) == float(b.state.e_potential)
+    assert np.array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
+    assert np.array_equal(np.asarray(a.state.p), np.asarray(b.state.p))

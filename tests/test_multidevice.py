@@ -143,3 +143,17 @@ def test_energy_conservation_sharded():
     e1 = (sharded.e_potential + sharded.kinetic_energy()) / sharded.n_global
     assert sharded.sum_atoms() == sharded.n_global
     assert abs(e1 - e0) < 2e-5 * abs(e0)
+
+
+def test_lazy_energy_block_matches_full_sharded():
+    """Sharded lazy-energy blocks (energy on last step only) are bitwise
+    equal in trajectory and boundary energy to energy-every-step blocks."""
+    a = init_simulation(base_cfg(doeam=True, xproc=2, yproc=2, zproc=2,
+                                 energy_every_step=False))
+    b = init_simulation(base_cfg(doeam=True, xproc=2, yproc=2, zproc=2,
+                                 energy_every_step=True))
+    a.step_block(6)
+    b.step_block(6)
+    assert float(a.state.e_potential) == float(b.state.e_potential)
+    assert np.array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
+    assert np.array_equal(np.asarray(a.state.p), np.asarray(b.state.p))

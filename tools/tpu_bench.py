@@ -40,15 +40,19 @@ def main():
     sim = init_simulation(cfg)
     log(f"init done atoms={sim.n_global} method={method}")
 
+    # Marginal timing over printRate-sized blocks: `short`/`long` count
+    # BLOCKS of `block` steps each, so the energy-reporting step (1 per
+    # block, the printRate cadence) is included at its true amortized cost.
+    block = int(os.environ.get("BENCH_BLOCK", 10))
+
     def run(k):
-        sim.step_block(k)
+        for _ in range(k):
+            sim.step_block(block)
         return float(sim.state.e_potential)  # real D2H sync
 
-    # compile both block sizes
-    run(short)
-    log(f"compiled scan-{short}")
-    run(long)
-    log(f"compiled scan-{long}")
+    # compile (one program: the `block`-step scan)
+    run(1)
+    log(f"compiled scan-{block}")
 
     samples = []
     for _ in range(3):
@@ -58,10 +62,10 @@ def main():
         t0 = time.time()
         run(long)
         tl = time.time() - t0
-        per_step = (tl - ts) / (long - short)
+        per_step = (tl - ts) / ((long - short) * block)
         samples.append(per_step)
-        log(f"short({short})={ts:7.3f}s long({long})={tl:7.3f}s "
-            f"-> {per_step*1e3:8.2f} ms/step "
+        log(f"short({short}x{block})={ts:7.3f}s long({long}x{block})="
+            f"{tl:7.3f}s -> {per_step*1e3:8.2f} ms/step "
             f"({sim.n_global/max(per_step,1e-12):.3e} atom-steps/s)")
     best = min(samples)
     log(f"BEST {best*1e3:.2f} ms/step = "
