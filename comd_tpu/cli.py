@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("--dtype", default="float32", choices=["float32", "float64"],
       help="dynamics precision (energies always f64-accumulated)")
     a("--boxChunk", type=int, default=256, help="cells per force-sweep chunk")
+    a("--halfShell", action="store_true",
+      help="Newton's-3rd-law pair-once sweeps (the reference half-list "
+           "kernels; with -m cta_cell, the Pallas dual-delivery kernel)")
+    a("--energyEveryStep", action="store_true",
+      help="compute potential energy on every step instead of only at "
+           "printRate boundaries (identical dynamics either way)")
     a("--yaml", default=None, help="YAML report output directory (off if unset)")
     a("--analyze", action="store_true",
       help="print the link-cell occupancy histogram (AnalyzeInput)")
@@ -88,6 +94,7 @@ def config_from_args(args) -> Config:
         gpu_profile=args.gpuProfile, lj_interpolation=args.ljInterpolation,
         spline=args.spline, use_pairlist=args.usePairlist,
         max_atoms=args.maxAtoms, dtype=args.dtype, box_chunk=args.boxChunk,
+        half_shell=args.halfShell, energy_every_step=args.energyEveryStep,
     )
 
 

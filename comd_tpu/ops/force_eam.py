@@ -325,10 +325,16 @@ def eam_force_pallas(
     chunk: int = 512,
     e_dtype=jnp.float64,
     interpret: bool = False,
+    want_energy: bool = True,
+    half: bool = False,
+    fold: Callable = None,
 ):
     """Three-pass EAM force with the pair passes as Pallas stencil kernels
-    (the gpu_eam_cta_cell.h analog; table lookups are in-kernel Chebyshev
-    FMA chains).  Pass 2 (per-atom embedding) stays in XLA.
+    (the gpu_eam_cta_cell.h analog; table lookups are the in-kernel
+    shared-basis Chebyshev evaluator).  Pass 2 (per-atom embedding) stays
+    in XLA.  ``half=True`` uses the pair-once half-shell kernel (dual
+    delivery from one VMEM pair block); ``fold`` then folds halo-row
+    contributions back to owners (the half-shell force exchange).
 
     Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
     """
@@ -338,19 +344,28 @@ def eam_force_pallas(
     eval_f = make_f_eval(pot, dtype, "twolevel")
 
     f1, phi_sum, rhobar_l = eam_pass1_stencil(
-        geom, pot, r, chunk=chunk, interpret=interpret)
+        geom, pot, r, chunk=chunk, interpret=interpret,
+        want_energy=want_energy, half=half)
+    if half:
+        f1 = fold(f1)
+        rhobar_l = fold(rhobar_l)
+        if want_energy:
+            phi_sum = fold(phi_sum)
 
     # pass 2 (eam.c:351-366) -- per-atom, 27x fewer lookups than the pair
     # passes; exact two-level lookup
     f_emb, df_emb_l = eval_f(rhobar_l.astype(dtype))
-    u = 0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+    u = (0.5 * phi_sum.astype(e_dtype) + f_emb.astype(e_dtype)
+         if want_energy else None)
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
     df_embed = fill_halo_scalar(df_embed)
 
     f3 = eam_pass3_stencil(geom, pot, r, df_embed, chunk=chunk,
-                           interpret=interpret)
+                           interpret=interpret, half=half)
+    if half:
+        f3 = fold(f3)
     return (f1 + f3).astype(dtype), u, df_embed
 
 

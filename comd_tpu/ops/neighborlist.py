@@ -137,11 +137,22 @@ def pair_sweep_nl(nlist: NeighborList, r, pair_fn, rcut2, *,
         sj = [s[nl_c] for s in sj_flat]              # [C, K]
         si = [s[rows_c][:, None] for s in sj_flat]   # [C, 1]
         fcoef, scalars = pair_fn(r2, mask, sj, si)
-        outs = []
+        # one variadic reduce over K for every output (a single fused loop
+        # computing shared per-pair work once; see sweep.cell_pair_sweep)
+        operands = []
         if want_force:
-            outs.append(jnp.stack(
-                [jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)]))
-        outs.extend(jnp.sum(s, axis=-1) for s in scalars)
+            operands.extend(fcoef * dr[a] for a in range(3))
+        operands.extend(scalars)
+        zero = r2.dtype.type(0)
+        red = jax.lax.reduce(
+            tuple(operands), (zero,) * len(operands),
+            lambda acc, x: tuple(a + b for a, b in zip(acc, x)), (1,))
+        outs = []
+        i = 0
+        if want_force:
+            outs.append(jnp.stack(red[:3]))
+            i = 3
+        outs.extend(red[i:])
         return tuple(outs)
 
     results = jax.lax.map(body, (rows, nls))

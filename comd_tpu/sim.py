@@ -114,6 +114,7 @@ class Simulation:
 
         use_pallas = cfg.method == "cta_cell" and not cfg.lj_interpolation
         use_half = cfg.half_shell and not use_pallas and not cfg.lj_interpolation
+        pallas_half = use_pallas and cfg.half_shell
         # interpret mode only off-TPU (tests); on TPU the kernel is real --
         # any Mosaic rejection is a loud error, never a silent fallback.
         interpret = jax.default_backend() != "tpu"
@@ -126,7 +127,8 @@ class Simulation:
                 if use_pallas:
                     f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
                         geom, pot, r, fill, chunk=chunk, e_dtype=e_dtype,
-                        interpret=interpret)
+                        interpret=interpret, want_energy=want_energy,
+                        half=pallas_half, fold=fold)
                 elif use_half:
                     f_loc, u_raw, _dfe = force_eam.eam_force_half(
                         geom, pot, r, fill, fold, spline=cfg.spline,
@@ -148,11 +150,17 @@ class Simulation:
                 u, e_pot = force_eam.finalize_eam_energy(u_raw, valid, e_dtype)
                 return f_loc, u, e_pot
         elif use_pallas:
-            from .ops.pallas.stencil import lj_force_stencil
+            from .ops.pallas.stencil import (lj_force_stencil,
+                                             lj_force_stencil_half)
 
             def force(r, n_atoms):
+                if pallas_half:
+                    return lj_force_stencil_half(
+                        geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype,
+                        interpret=interpret, want_energy=want_energy)
                 return lj_force_stencil(geom, pot, r, chunk=chunk,
-                                        e_dtype=e_dtype, interpret=interpret)
+                                        e_dtype=e_dtype, interpret=interpret,
+                                        want_energy=want_energy)
         elif use_half:
             def force(r, n_atoms):
                 return force_lj.lj_force_half(geom, pot, r, fold,

@@ -60,3 +60,42 @@ def test_stencil_chunking_invariance():
                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     assert float(e1) == pytest.approx(float(e2), rel=1e-7)
+
+
+def test_lj_stencil_half_matches_xla():
+    """Pallas half-shell kernel (pair-once, dual delivery) vs the XLA full
+    sweep: same physics, fp-reordering differences only."""
+    a = init_simulation(base_cfg())
+    b = init_simulation(base_cfg(method="cta_cell", half_shell=True))
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-6)
+    fa = np.asarray(a.state.f)
+    fb = np.asarray(b.state.f)
+    assert np.max(np.abs(fa - fb)) < 1e-4
+    a.step_block(5)
+    b.step_block(5)
+    assert b.sum_atoms() == a.n_global
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-5)
+
+
+def test_eam_stencil_half_matches_xla_cheb():
+    a = init_simulation(base_cfg(doeam=True, interp_impl="cheb"))
+    b = init_simulation(base_cfg(doeam=True, method="cta_cell",
+                                 half_shell=True))
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-6)
+    fa = np.asarray(a.state.f)
+    fb = np.asarray(b.state.f)
+    assert np.max(np.abs(fa - fb)) < 1e-4
+    a.step_block(5)
+    b.step_block(5)
+    assert b.sum_atoms() == a.n_global
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-5)
+
+
+def test_eam_stencil_half_conserves_energy():
+    sim = init_simulation(base_cfg(doeam=True, method="cta_cell",
+                                   half_shell=True))
+    e0 = sim.e_potential + sim.kinetic_energy()
+    sim.step_block(30)
+    e1 = sim.e_potential + sim.kinetic_energy()
+    assert abs(e1 - e0) / abs(e0) < 5e-5
+    assert not bool(np.asarray(sim.state.overflow))
