@@ -118,13 +118,24 @@ class ShardedSimulation:
             fill = functools.partial(exchange.exchange_scalar, plan, geom)
         fold = functools.partial(exchange.fold_halo, plan, geom)
         use_async = bool(cfg.gpu_async)
-        use_half = cfg.half_shell and not use_async and not cfg.lj_interpolation
+        use_pallas = (cfg.method == "cta_cell" and not cfg.lj_interpolation
+                      and not use_async)
+        use_half = (cfg.half_shell and not use_async and not use_pallas
+                    and not cfg.lj_interpolation)
+        pallas_half = use_pallas and cfg.half_shell
+        interpret = jax.default_backend() != "tpu"
         if use_async:
             interior, boundary = cells.boundary_lists(geom, ring=1)
 
         if isinstance(pot, EamPotential):
             def force(r, n_atoms, r_pre=None):
-                if use_async:
+                if use_pallas:
+                    f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
+                        geom, pot, r, fill, chunk=max(cfg.box_chunk, 512),
+                        e_dtype=e_dtype, interpret=interpret,
+                        want_energy=want_energy, half=pallas_half,
+                        fold=fold)
+                elif use_async:
                     f_loc, u_raw, _dfe = force_eam.eam_force_split(
                         geom, pot, r, fill, interior, boundary,
                         r_pre=r_pre, spline=cfg.spline, chunk=chunk,
@@ -156,7 +167,20 @@ class ShardedSimulation:
                      else force_lj.lj_force)
 
             def force(r, n_atoms, r_pre=None):
-                if use_async:
+                if use_pallas:
+                    from ..ops.pallas.stencil import (lj_force_stencil,
+                                                      lj_force_stencil_half)
+                    if pallas_half:
+                        f_loc, _u, e_pot = lj_force_stencil_half(
+                            geom, pot, r, fold,
+                            chunk=max(cfg.box_chunk, 512), e_dtype=e_dtype,
+                            interpret=interpret, want_energy=want_energy)
+                    else:
+                        f_loc, _u, e_pot = lj_force_stencil(
+                            geom, pot, r, chunk=max(cfg.box_chunk, 512),
+                            e_dtype=e_dtype, interpret=interpret,
+                            want_energy=want_energy)
+                elif use_async:
                     f_loc, _u, e_pot = force_lj.lj_force_split(
                         geom, pot, r, interior, boundary, r_pre=r_pre,
                         chunk=chunk, e_dtype=e_dtype)

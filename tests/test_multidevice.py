@@ -157,3 +157,20 @@ def test_lazy_energy_block_matches_full_sharded():
     assert float(a.state.e_potential) == float(b.state.e_potential)
     assert np.array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
     assert np.array_equal(np.asarray(a.state.p), np.asarray(b.state.p))
+
+
+def test_pallas_stencil_sharded_matches_serial():
+    """-m cta_cell under the mesh: per-shard Pallas kernels (half-shell,
+    interpret mode off-TPU) against the serial XLA oracle."""
+    kw = dict(nx=8, ny=8, nz=8, temperature=600.0, dtype="float32",
+              max_atoms=48, box_chunk=64, pot_dir="pots", doeam=True)
+    serial = init_simulation(Config(interp_impl="cheb", **kw))
+    sharded = init_simulation(Config(method="cta_cell", half_shell=True,
+                                     xproc=2, yproc=2, zproc=2, **kw))
+    assert sharded.e_potential == pytest.approx(serial.e_potential,
+                                                rel=1e-6)
+    serial.step_block(6)
+    sharded.step_block(6)
+    assert sharded.sum_atoms() == serial.n_global
+    assert sharded.e_potential == pytest.approx(serial.e_potential,
+                                                rel=1e-5)

@@ -96,6 +96,70 @@ def main():
             return jax.lax.scan(body, r, None, length=length)[0]
         marginal("eam pass1 (interp)", scan_eam1, st.r)
 
+    if "geom" in ops:
+        # geometry-only sweep: pair_fn does ONE op beyond dr/r2/mask/reduce.
+        # If this costs ~as much as a full EAM pass, the wall is the pair
+        # tensor plumbing (gather, dr, reduce), not the table chains.
+        def geom_pair(r2, mask, sj, si):
+            return mask.astype(r2.dtype), []
+
+        def scan_geom(r, length):
+            def body(r, _):
+                f, _s = sweep.cell_pair_sweep(geom, r, geom_pair, rcut2,
+                                              chunk=256)
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("geometry-only sweep", scan_geom, st.r)
+
+    if "eam1_cheb" in ops or "eam3_cheb" in ops or "eam_stencil" in ops \
+            or "eam_stencil_half" in ops:
+        from comd_tpu.potentials.eam import init_eam_pot
+        epot2 = init_eam_pot("/root/repo/pots", "Cu_u6.eam", "funcfl")
+        ercut2b = epot2.cutoff ** 2
+        ev_phi, ev_rho = force_eam.make_evaluators(
+            epot2, st.r.dtype, False, impl="cheb")
+
+    if "eam1_cheb" in ops:
+        p1c = force_eam.make_pair1(ev_phi, ev_rho, want_energy=False)
+
+        def scan_e1c(r, length):
+            def body(r, _):
+                f, _s = sweep.cell_pair_sweep(geom, r, p1c, ercut2b,
+                                              chunk=256)
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("eam pass1 cheb (no E)", scan_e1c, st.r)
+
+    if "eam3_cheb" in ops:
+        p3c = force_eam.make_pair3(ev_rho)
+        dfe = jnp.ones((geom.n_total, st.r.shape[-1]), st.r.dtype)
+
+        def scan_e3c(r, length):
+            def body(r, _):
+                f, _s = sweep.cell_pair_sweep(geom, r, p3c, ercut2b,
+                                              chunk=256, scalar_j=[dfe])
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, geom.n_halo), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal("eam pass3 cheb", scan_e3c, st.r)
+
+    if "eam_stencil" in ops or "eam_stencil_half" in ops:
+        from comd_tpu.ops.pallas import stencil as stc
+        half = "eam_stencil_half" in ops
+
+        def scan_st(r, length):
+            def body(r, _):
+                f, _p, _rh = stc.eam_pass1_stencil(
+                    geom, epot2, r, chunk=512, want_energy=False, half=half)
+                pad_to = geom.n_total - f.shape[1]
+                return r + 1e-30 * jnp.pad(
+                    f, ((0, 0), (0, pad_to), (0, 0))), ()
+            return jax.lax.scan(body, r, None, length=length)[0]
+        marginal(f"eam pass1 stencil{' half' if half else ''}",
+                 scan_st, st.r)
+
     if "rebucket" in ops:
         def scan_rb(carry, length):
             r, p, gid, na = carry
