@@ -83,8 +83,9 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
         tab = pot.phi
 
         def eval_both(rr):
+            # batch=4096 measured fastest at pair-tensor lookup counts
             (phi, dphi), (rho, drho) = tables.interpolate_twolevel(
-                T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr)
+                T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr, batch=4096)
             return phi, dphi, rho, drho
 
         def eval_phi(r2, rr):

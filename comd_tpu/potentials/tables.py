@@ -131,7 +131,7 @@ def pack_twolevel(tabs: list["InterpTable"], block_rows: int = 8):
 
 def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
                          n: int, x0: float, inv_dx: float, r,
-                         batch: int = 4096):
+                         batch: int = None):
     """Gather-free quadratic interpolation: two-level one-hot lookup.
 
     Per-element table gathers run at ~0.2 G/s on TPU via XLA; this
@@ -156,6 +156,15 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
     # 10x).
     rf = jnp.reshape(r, (-1,))
     N = rf.shape[0]
+    if batch is None:
+        # body sizes are a latency/intermediate-size trade: 4096-row bodies
+        # measured fastest per-lookup at pair-tensor N (callers there pass
+        # batch=4096 explicitly), but each lax.map iteration is a serial
+        # dispatch -- hundreds of them (e.g. pass-2 F(rhobar) at 1M atoms)
+        # turn latency-bound.  Default: at most ~32 bodies, each <= 128k
+        # rows (one-hot intermediate <= 33 MB).
+        per_body = -(-N // 32)                      # ceil(N / 32 bodies)
+        batch = min(max(4096, -(-per_body // 4096) * 4096), 131072)
     nbat = -(-N // batch)
     pad = nbat * batch - N
     rb = jnp.pad(rf, (0, pad)).reshape(nbat, batch)

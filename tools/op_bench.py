@@ -160,6 +160,29 @@ def main():
         marginal(f"eam pass1 stencil{' half' if half else ''}",
                  scan_st, st.r)
 
+    if "pass2" in ops:
+        from comd_tpu.potentials.eam import init_eam_pot
+        epot3 = init_eam_pot("/root/repo/pots", "Cu_u6.eam", "funcfl")
+        eval_f = force_eam.make_f_eval(epot3, st.r.dtype, "twolevel")
+        rho0 = jnp.abs(st.r[0, :geom.n_local]) * 1e-10 + 0.5
+
+        def scan_p2(rho, length):
+            def body(rho, _):
+                f, df = eval_f(rho)
+                return rho + 1e-30 * df, ()
+            return jax.lax.scan(body, rho, None, length=length)[0]
+        marginal("pass2 F(rhobar) twolevel", scan_p2, rho0)
+
+    if "halo_scalar" in ops:
+        dfe0 = jnp.ones((geom.n_total, st.r.shape[-1]), st.r.dtype)
+
+        def scan_hs(dfe, length):
+            def body(dfe, _):
+                out = binning.fill_halo_scalar_serial(geom, dfe)
+                return dfe + 1e-30 * out, ()
+            return jax.lax.scan(body, dfe, None, length=length)[0]
+        marginal("dfEmbed halo fill", scan_hs, dfe0)
+
     if "rebucket" in ops:
         def scan_rb(carry, length):
             r, p, gid, na = carry
