@@ -351,6 +351,12 @@ class ChebFused:
     deg: int
     coef: dict         # name -> np.ndarray [deg+1] (value, in w domain)
     dcoef: dict        # name -> np.ndarray [deg]   (dP/dw)
+    # endpoint-constrained fits (see make_cheb_fused ``constraints``): maps
+    # name -> exact value at the r2=0 clamp (u_lo); empty if unconstrained.
+    # When every table is cutoff-exact, pair kernels can drop their masks:
+    # beyond-cutoff pairs clamp to u_hi and contribute exactly zero, and
+    # the constant self-pair (r2=0) term is subtracted per atom.
+    self_val: dict = dataclasses.field(default_factory=dict)
 
 
 _TRANSFORMS = {
@@ -360,21 +366,78 @@ _TRANSFORMS = {
 }
 
 
+def _cheb_vander(t, deg):
+    """Chebyshev Vandermonde on t in [-1, 1]: [len(t), deg+1]."""
+    t = np.atleast_1d(t)
+    V = np.zeros((len(t), deg + 1))
+    V[:, 0] = 1.0
+    if deg >= 1:
+        V[:, 1] = t
+    for k in range(2, deg + 1):
+        V[:, k] = 2.0 * t * V[:, k - 1] - V[:, k - 2]
+    return V
+
+
+def _cheb_dvander(t0, deg, half_span):
+    """d T_k / dw at one point: [deg+1] row (T'_k(t) = k U_{k-1}(t))."""
+    U = np.zeros(deg + 1)
+    U[0] = 1.0
+    if deg >= 1:
+        U[1] = 2.0 * t0
+    for k in range(2, deg + 1):
+        U[k] = 2.0 * t0 * U[k - 1] - U[k - 2]
+    d = np.zeros(deg + 1)
+    for k in range(1, deg + 1):
+        d[k] = k * U[k - 1]
+    return d / half_span
+
+
+def _fit_constrained(w, f, deg, w_lo, w_hi, w_end, mode):
+    """Chebyshev LSQ with exact endpoint constraints at w_end.
+
+    mode: '' (none), 'val' (P(w_end)=0), 'val_der' (also P'(w_end)=0).
+    Constraint elimination via the SVD null space of the constraint rows.
+    """
+    mid, half = 0.5 * (w_lo + w_hi), 0.5 * (w_hi - w_lo)
+    t = (w - mid) / half
+    A = _cheb_vander(t, deg)
+    if not mode:
+        c, *_ = np.linalg.lstsq(A, f, rcond=None)
+        return c
+    t_end = (w_end - mid) / half
+    rows = [_cheb_vander(np.array([t_end]), deg)[0]]
+    if mode == "val_der":
+        rows.append(_cheb_dvander(t_end, deg, half))
+    C = np.stack(rows)
+    _, _, Vt = np.linalg.svd(C)
+    N = Vt[len(rows):].T
+    z, *_ = np.linalg.lstsq(A @ N, f, rcond=None)
+    return N @ z
+
+
 def make_cheb_fused(tabs: dict, r_lo: float, r_hi: float,
                     tol_f: float = 2e-5, tol_df: float = 2e-3,
-                    n_sample: int = 100001) -> ChebFused:
+                    n_sample: int = 100001,
+                    constraints: dict = None) -> ChebFused:
     """Fit all ``tabs`` (name -> InterpTable) with one shared basis.
 
     Candidate (transform, degree) pairs are tried in ascending VPU-cost
     order (cost ~ degree * (1 basis + n_out accs) + transform overhead);
     the first meeting (tol_f, tol_df) for every table wins.  Falls back to
     the most accurate candidate seen if none meets tolerance.
+
+    ``constraints`` maps table name -> 'val' | 'val_der', enforcing EXACT
+    zeros at the cutoff endpoint (value, optionally also the derivative):
+    beyond-cutoff evaluations then contribute exactly nothing, which lets
+    pair kernels run maskless (the r2=0 self-pair clamp constants are
+    recorded in ``self_val`` for per-atom subtraction).
     """
     u_lo, u_hi = float(r_lo) ** 2, float(r_hi) ** 2
     u = np.linspace(u_lo, u_hi, n_sample)
     r = np.sqrt(u)
     refs = {name: _sample_reference(tab, r) for name, tab in tabs.items()}
     n_out = 2 * len(tabs)
+    constraints = constraints or {}
 
     cands = []
     for tr, (fn, extra) in _TRANSFORMS.items():
@@ -395,20 +458,24 @@ def make_cheb_fused(tabs: dict, r_lo: float, r_hi: float,
         w = fn(u)
         dw = dwdu_np(tr, w, u)
         w_lo, w_hi = float(np.min(w)), float(np.max(w))
-        coef, dcoef = {}, {}
+        w_end = float(fn(np.array([u_hi]))[0])
+        coef, dcoef, self_val = {}, {}, {}
         worst = 0.0
         for name, (f_ref, df_ref) in refs.items():
-            ch = np.polynomial.chebyshev.Chebyshev.fit(
-                w, f_ref, deg, domain=[w_lo, w_hi])
+            c = _fit_constrained(w, f_ref, deg, w_lo, w_hi, w_end,
+                                 constraints.get(name, ""))
+            ch = np.polynomial.chebyshev.Chebyshev(c, domain=[w_lo, w_hi])
             err_f = np.max(np.abs(ch(w) - f_ref)) / np.max(np.abs(f_ref))
             err_df = np.max(np.abs(ch.deriv()(w) * dw * 2.0 * r - df_ref)) \
                 / np.max(np.abs(df_ref))
             worst = max(worst, err_f / tol_f, err_df / tol_df)
             coef[name] = np.asarray(ch.coef, np.float64)
             dcoef[name] = np.asarray(ch.deriv().coef, np.float64)
+            if constraints.get(name):
+                self_val[name] = float(ch(float(fn(np.array([u_lo]))[0])))
         fused = ChebFused(transform=tr, u_lo=u_lo, u_hi=u_hi,
                           w_lo=w_lo, w_hi=w_hi, deg=deg,
-                          coef=coef, dcoef=dcoef)
+                          coef=coef, dcoef=dcoef, self_val=self_val)
         if worst <= 1.0:
             return fused
         if best is None or worst < best[0]:

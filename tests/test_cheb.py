@@ -110,3 +110,31 @@ def test_lazy_energy_block_matches_full(doeam):
         assert float(a.state.e_potential) == float(b.state.e_potential)
     assert np.array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
     assert np.array_equal(np.asarray(a.state.p), np.asarray(b.state.p))
+
+
+def test_constrained_fit_exact_endpoint_zeros():
+    """make_cheb_fused(constraints=...) places exact (f64) zeros at the
+    cutoff endpoint: value for 'val', value+derivative for 'val_der'."""
+    pot = init_eam_pot("pots", "Cu_u6.eam", "funcfl")
+    fz = tables.make_cheb_fused(
+        {"phi": pot.phi, "rho": pot.rho}, pot.CHEB_R_LO, pot.cutoff,
+        constraints={"phi": "val_der", "rho": "val"})
+    for name, mode in (("phi", "val_der"), ("rho", "val")):
+        ch = np.polynomial.chebyshev.Chebyshev(
+            fz.coef[name], domain=[fz.w_lo, fz.w_hi])
+        w_end = (1.0 / fz.u_hi if fz.transform == "inv_u" else
+                 np.log(fz.u_hi) if fz.transform == "log_u" else fz.u_hi)
+        assert abs(ch(w_end)) < 1e-12
+        if mode == "val_der":
+            assert abs(ch.deriv()(w_end)) < 1e-10
+        assert name in fz.self_val
+    # constrained fits still meet the quality bar on the sampled range
+    r = np.linspace(pot.CHEB_R_LO + 0.01, pot.cutoff, 20001)
+    r2 = jnp.asarray(r ** 2, jnp.float64)
+    phi, dphi = tables.eval_cheb_fused(fz, r2, [("phi", "val"),
+                                                ("phi", "der")])
+    f_ref, df_ref = tables.interpolate4(
+        pot.phi.stencil_device(jnp.float64), pot.phi.n, pot.phi.x0,
+        pot.phi.inv_dx, jnp.asarray(r))
+    assert np.max(np.abs(np.asarray(phi) - np.asarray(f_ref))) < \
+        1e-4 * np.max(np.abs(np.asarray(f_ref)))
