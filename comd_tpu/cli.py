@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("--yaml", default=None, help="YAML report output directory (off if unset)")
     a("--analyze", action="store_true",
       help="print the link-cell occupancy histogram (AnalyzeInput)")
+    a("--checkpoint", default=None, metavar="DIR",
+      help="write a checkpoint to DIR at the end of the run (and every "
+           "--checkpointRate steps if set)")
+    a("--checkpointRate", type=int, default=0,
+      help="steps between periodic checkpoints (0 = final only)")
+    a("--restore", default=None, metavar="DIR",
+      help="resume from a checkpoint directory (geometry/potential flags "
+           "come from the stored config; -N adds steps on top)")
     return p
 
 
@@ -120,14 +128,21 @@ def print_things(sim, i_step: int, elapsed: float, n_eval: int, out=sys.stdout):
 
 
 def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
-        analyze: bool = False) -> dict:
+        analyze: bool = False, restore: str | None = None,
+        checkpoint: str | None = None, checkpoint_rate: int = 0) -> dict:
     """Full reference-style run. Returns a result summary dict."""
     from . import sim as sim_mod
     from .utils.timers import PerfTimers
 
     timers = PerfTimers()
     timers.start("total")
-    sim = sim_mod.init_simulation(cfg)
+    step0 = 0
+    if restore is not None:
+        from .utils import checkpoint as ckpt
+        sim, step0 = ckpt.load(restore)
+        print(f"Restored checkpoint {restore} at step {step0}", file=out)
+    else:
+        sim = sim_mod.init_simulation(cfg)
     cfg = sim.cfg
 
     for key, val in sim.pot.describe():
@@ -142,10 +157,11 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
     print(HEADER, file=out)
 
     timers.start("loop")
-    i_step = 0
-    print_things(sim, 0, 1e-9, 1, out=out)
-    while i_step < cfg.n_steps:
-        n_block = min(cfg.print_rate, cfg.n_steps - i_step)
+    i_step = step0
+    n_end = step0 + cfg.n_steps
+    print_things(sim, i_step, 1e-9, 1, out=out)
+    while i_step < n_end:
+        n_block = min(cfg.print_rate, n_end - i_step)
         timers.start("timestep")
         t0 = time.perf_counter()
         sim.step_block(n_block)
@@ -158,7 +174,17 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
                 f"cell/neighbor capacity overflow at step {i_step}: "
                 f"increase --maxAtoms (current {cfg.max_atoms})")
         print_things(sim, i_step, dt_wall, n_block, out=out)
+        if checkpoint is not None and checkpoint_rate > 0 and \
+                (i_step - step0) % checkpoint_rate == 0 and i_step < n_end:
+            from .utils import checkpoint as ckpt
+            ckpt.save(checkpoint, sim, i_step)
+            print(f"# checkpoint written at step {i_step}", file=out)
     timers.stop("loop")
+    if checkpoint is not None:
+        from .utils import checkpoint as ckpt
+        ckpt.save(checkpoint, sim, i_step)
+        print(f"# final checkpoint written to {checkpoint} "
+              f"(step {i_step})", file=out)
 
     # validation (validateResult, CoMD.c:413-440)
     e_final = (sim.e_potential + sim.kinetic_energy()) / sim.n_global
@@ -253,7 +279,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     try:
-        run(cfg, yaml_dir=args.yaml, analyze=args.analyze)
+        run(cfg, yaml_dir=args.yaml, analyze=args.analyze,
+            restore=args.restore, checkpoint=args.checkpoint,
+            checkpoint_rate=args.checkpointRate)
     except (ValueError, FileNotFoundError) as e:
         print(f"comd-tpu: {e}. Fatal Error.", file=sys.stderr)
         return 1

@@ -63,3 +63,19 @@ def test_graft_dryrun_multichip():
         capture_output=True, text=True, cwd=REPO, env=ENV, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_cli_checkpoint_restore_roundtrip(tmp_path):
+    """--checkpoint writes a resumable state; --restore continues the
+    trajectory (step numbering, conservation, atom count)."""
+    ck = str(tmp_path / "ck")
+    out = run_cli("-e", "-x", "4", "-y", "4", "-z", "4", "-N", "10",
+                  "-n", "5", "--dtype", "float64", "--maxAtoms", "48",
+                  "--checkpoint", ck)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "final checkpoint written" in out.stdout
+    out2 = run_cli("-N", "10", "--restore", ck)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "Restored checkpoint" in out2.stdout
+    assert " 20 " in out2.stdout.replace("     ", " ")
+    assert "no atoms lost" in out2.stdout
