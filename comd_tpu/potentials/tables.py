@@ -462,17 +462,29 @@ def make_cheb_fused(tabs: dict, r_lo: float, r_hi: float,
         coef, dcoef, self_val = {}, {}, {}
         worst = 0.0
         for name, (f_ref, df_ref) in refs.items():
-            c = _fit_constrained(w, f_ref, deg, w_lo, w_hi, w_end,
-                                 constraints.get(name, ""))
-            ch = np.polynomial.chebyshev.Chebyshev(c, domain=[w_lo, w_hi])
-            err_f = np.max(np.abs(ch(w) - f_ref)) / np.max(np.abs(f_ref))
-            err_df = np.max(np.abs(ch.deriv()(w) * dw * 2.0 * r - df_ref)) \
-                / np.max(np.abs(df_ref))
-            worst = max(worst, err_f / tol_f, err_df / tol_df)
-            coef[name] = np.asarray(ch.coef, np.float64)
-            dcoef[name] = np.asarray(ch.deriv().coef, np.float64)
+            # per-table minimal degree within the shared (transform, deg):
+            # the evaluator's accumulators stop at each table's own length,
+            # so a smoother table (e.g. phi at deg 8 where rho needs 10)
+            # costs fewer FMAs while still sharing the basis recurrence
+            c, t_err = None, None
+            for d in range(max(4, deg - 4), deg + 1, 2):
+                cc = _fit_constrained(w, f_ref, d, w_lo, w_hi, w_end,
+                                      constraints.get(name, ""))
+                ch = np.polynomial.chebyshev.Chebyshev(
+                    cc, domain=[w_lo, w_hi])
+                err_f = np.max(np.abs(ch(w) - f_ref)) \
+                    / np.max(np.abs(f_ref))
+                err_df = np.max(
+                    np.abs(ch.deriv()(w) * dw * 2.0 * r - df_ref)) \
+                    / np.max(np.abs(df_ref))
+                c, t_err = ch, max(err_f / tol_f, err_df / tol_df)
+                if t_err <= 1.0:
+                    break
+            worst = max(worst, t_err)
+            coef[name] = np.asarray(c.coef, np.float64)
+            dcoef[name] = np.asarray(c.deriv().coef, np.float64)
             if constraints.get(name):
-                self_val[name] = float(ch(float(fn(np.array([u_lo]))[0])))
+                self_val[name] = float(c(float(fn(np.array([u_lo]))[0])))
         fused = ChebFused(transform=tr, u_lo=u_lo, u_hi=u_hi,
                           w_lo=w_lo, w_hi=w_hi, deg=deg,
                           coef=coef, dcoef=dcoef, self_val=self_val)
