@@ -9,6 +9,7 @@ timing report + YAML file (CoMD.c:86-187, 463-552).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -141,6 +142,10 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         from .utils import checkpoint as ckpt
         sim, step0 = ckpt.load(restore)
         print(f"Restored checkpoint {restore} at step {step0}", file=out)
+        # physics/geometry come from the stored config; the run-control
+        # flags (-N steps to add, -n print rate) from THIS command line
+        sim.cfg = dataclasses.replace(sim.cfg, n_steps=cfg.n_steps,
+                                      print_rate=cfg.print_rate)
     else:
         sim = sim_mod.init_simulation(cfg)
     cfg = sim.cfg
@@ -174,8 +179,12 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
                 f"cell/neighbor capacity overflow at step {i_step}: "
                 f"increase --maxAtoms (current {cfg.max_atoms})")
         print_things(sim, i_step, dt_wall, n_block, out=out)
+        # periodic checkpoint on interval CROSSINGS, so rates that are not
+        # a multiple of printRate still fire
         if checkpoint is not None and checkpoint_rate > 0 and \
-                (i_step - step0) % checkpoint_rate == 0 and i_step < n_end:
+                i_step < n_end and \
+                (i_step - step0) // checkpoint_rate > \
+                (i_step - n_block - step0) // checkpoint_rate:
             from .utils import checkpoint as ckpt
             ckpt.save(checkpoint, sim, i_step)
             print(f"# checkpoint written at step {i_step}", file=out)

@@ -300,7 +300,6 @@ def eam_force_half(
         geom, r, make_pair1(eval_phi, eval_rho, want_energy), rcut2,
         chunk=chunk)
     phi_d, rho_d = scal_d if want_energy else (None, scal_d[0])
-    f1 = fold(f1d)
     rhobar_l = fold(rho_d)
 
     f_emb, df_emb_l = eval_f(rhobar_l)
@@ -314,7 +313,8 @@ def eam_force_half(
     f3d, _ = cell_pair_sweep_half(
         geom, r, make_pair3(eval_rho), rcut2, chunk=chunk,
         scalar_j=[df_embed])
-    return f1 + fold(f3d), u, df_embed
+    # fold is linear: one halo force exchange on the summed dense passes
+    return fold(f1d + f3d), u, df_embed
 
 
 def eam_force_pallas(
@@ -348,7 +348,6 @@ def eam_force_pallas(
         geom, pot, r, chunk=chunk, interpret=interpret,
         want_energy=want_energy, half=half)
     if half:
-        f1 = fold(f1)
         rhobar_l = fold(rhobar_l)
         if want_energy:
             phi_sum = fold(phi_sum)
@@ -366,7 +365,8 @@ def eam_force_pallas(
     f3 = eam_pass3_stencil(geom, pot, r, df_embed, chunk=chunk,
                            interpret=interpret, half=half)
     if half:
-        f3 = fold(f3)
+        # fold is linear: one halo force exchange on the summed passes
+        return fold(f1 + f3).astype(dtype), u, df_embed
     return (f1 + f3).astype(dtype), u, df_embed
 
 

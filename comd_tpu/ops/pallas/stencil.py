@@ -469,23 +469,6 @@ def lj_force_stencil_half(geom: CellGeometry, pot, r, fold, *,
 # EAM physics: Chebyshev-in-r^2 evaluators inside the kernel
 # ---------------------------------------------------------------------------
 
-def _clenshaw(coef, t2, dtype=jnp.float32):
-    """Chebyshev Clenshaw with trace-time-constant coefficients.
-
-    ``t2`` is 2*t for t in [-1,1]; pure FMA chain, no memory operands."""
-    b0 = jnp.zeros_like(t2)
-    b1 = jnp.zeros_like(t2)
-    for k in range(len(coef) - 1, 0, -1):
-        b0, b1 = t2 * b0 - b1 + dtype.type(coef[k]), b0
-    return np.float32(0.5) * t2 * b0 - b1 + dtype.type(coef[0])
-
-
-def _cheb_t2(ch, u):
-    uc = jnp.clip(u, np.float32(ch.u_lo), np.float32(ch.u_hi))
-    return (uc - np.float32(0.5 * (ch.u_lo + ch.u_hi))) * np.float32(
-        4.0 / (ch.u_hi - ch.u_lo))
-
-
 def eam_pass1_stencil(geom: CellGeometry, pot, r, *, chunk: int = 512,
                       cb: int = 128, interpret: bool = False,
                       want_energy: bool = True, half: bool = False):

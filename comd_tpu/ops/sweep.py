@@ -368,8 +368,6 @@ def cell_pair_sweep(
 
     Returns (force [3, n_boxes, A] or None, [scalar outputs...]).
     """
-    import os
-    force_split = os.environ.get("COMD_FORCE_SPLIT", "0") == "1"
     A = r.shape[-1]
     boxes_chunks, n_chunks, n_out = _padded_chunks(geom, chunk, boxes)
     nbr = geom.nbr_map  # [n_local, 27]
@@ -377,26 +375,12 @@ def cell_pair_sweep(
 
     r = jnp.asarray(r)
     dtype = r.dtype
-    if force_split:
-        # cell centers for re-centering (see below); [n_total, 3]
-        centers_np = (geom.local_min[None, :]
-                      + (geom.tuple_of_box + 0.5) * geom.box_size[None, :])
-        centers = jnp.asarray(centers_np, dtype=dtype)
 
     def body(args):
         boxes_c, nbr_c = args            # [C], [C, 27]
         ri = r[:, boxes_c]               # [3, C, A]
         rj = r[:, nbr_c]                 # [3, C, 27, A]
         rj = rj.reshape(3, rj.shape[1], 27 * A)
-        if force_split:
-            # re-center on the i cell so the split force reduction below
-            # (ri*sum(fc) - sum(fc*rj)) stays cancellation-free: within a
-            # 27-cell neighborhood coordinates are O(cell), not O(domain).
-            # r2 still comes from the ORIGINAL coordinates, keeping the
-            # energy/mask numerics bitwise identical to the direct path.
-            cen = jnp.transpose(centers[boxes_c])          # [3, C]
-            ri_c = ri - cen[:, :, None]
-            rj_c = rj - cen[:, :, None]
         dr = ri[:, :, :, None] - rj[:, :, None, :]   # [3, C, A, 27A]
         r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
         mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
@@ -407,21 +391,15 @@ def cell_pair_sweep(
 
         # ONE variadic reduce over the j axis for every output: separate
         # jnp.sum calls invite XLA to split them into independent fusions,
-        # each rematerializing the pair geometry and table chains (measured
-        # on v5e); a single multi-operand reduce keeps one fused loop that
-        # computes the shared per-pair quantities exactly once.
+        # each rematerializing the pair geometry and table chains; a single
+        # multi-operand reduce keeps one fused loop that computes the
+        # shared per-pair quantities exactly once.  (A split force
+        # reduction ri*sum(fc) - sum(fc*rj) was also tried and measured
+        # null -- XLA fuses dr fine; docs/BENCHMARKS.md round 2b.)
         operands = []
         if want_force:
             assert fcoef is not None
-            if force_split:
-                # sum(fc*(ri-rj)) = ri*sum(fc) - sum(fc*rj): dr then feeds
-                # ONLY r2, so no [C, A, 27A] tensor has two consumers and
-                # XLA cannot be tempted to materialize it
-                operands.append(fcoef)
-                operands.extend(fcoef * rj_c[a][:, None, :]
-                                for a in range(3))
-            else:
-                operands.extend(fcoef * dr[a] for a in range(3))
+            operands.extend(fcoef * dr[a] for a in range(3))
         operands.extend(scalars)
         zero = r2.dtype.type(0)
         red = jax.lax.reduce(
@@ -431,14 +409,8 @@ def cell_pair_sweep(
         outs = []
         i = 0
         if want_force:
-            if force_split:
-                fsum = red[0]
-                outs.append(jnp.stack(
-                    [ri_c[a] * fsum - red[1 + a] for a in range(3)]))
-                i = 4
-            else:
-                outs.append(jnp.stack(red[:3]))  # [3, C, A]
-                i = 3
+            outs.append(jnp.stack(red[:3]))      # [3, C, A]
+            i = 3
         outs.extend(red[i:])                     # each [C, A]
         return tuple(outs)
 

@@ -74,8 +74,11 @@ def test_cli_checkpoint_restore_roundtrip(tmp_path):
                   "--checkpoint", ck)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "final checkpoint written" in out.stdout
-    out2 = run_cli("-N", "10", "--restore", ck)
+    out2 = run_cli("-N", "4", "-n", "2", "--restore", ck)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "Restored checkpoint" in out2.stdout
-    assert " 20 " in out2.stdout.replace("     ", " ")
+    # -N on restore ADDS steps on top of the stored step (10 + 4 = 14),
+    # overriding the checkpoint's stored n_steps
+    assert " 14 " in out2.stdout.replace("     ", " ")
+    assert " 20 " not in out2.stdout.replace("     ", " ")
     assert "no atoms lost" in out2.stdout
