@@ -34,9 +34,11 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
     max_atoms = int(os.environ.get("BENCH_MAXATOMS", 32))
     half = os.environ.get("BENCH_HALF", "0") == "1"
+    pot_type = os.environ.get("BENCH_POT_TYPE", "funcfl")
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                  dtype="float32", max_atoms=max_atoms, box_chunk=chunk,
-                 half_shell=half, method=method, pot_dir="/root/repo/pots")
+                 half_shell=half, method=method, pot_type=pot_type,
+                 pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
     log(f"init done atoms={sim.n_global} method={method}")
 
