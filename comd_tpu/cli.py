@@ -156,6 +156,13 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
     if analyze:
         analyze_input(sim, out=out)
 
+    import jax
+    if jax.default_backend() == "tpu" and cfg.doeam and (
+            cfg.spline or cfg.resolved_interp_impl == "rows"):
+        print("# note: -P/rows evaluate tables via per-pair gathers, which "
+              "run ~100x slower than the default Chebyshev path on TPU; "
+              "these modes exist for reference-exact parity.", file=out)
+
     e0 = (sim.e_potential + sim.kinetic_energy()) / sim.n_global
     n0 = sim.sum_atoms()
     print(f"Initial energy : {e0:14.12f}, atom count : {n0}\n", file=out)
