@@ -82,3 +82,15 @@ def test_cli_checkpoint_restore_roundtrip(tmp_path):
     assert " 14 " in out2.stdout.replace("     ", " ")
     assert " 20 " not in out2.stdout.replace("     ", " ")
     assert "no atoms lost" in out2.stdout
+
+
+def test_cli_overflow_aborts_with_clear_error():
+    """Capacity overflow (tiny --maxAtoms) must abort with an actionable
+    message, not silently drop atoms (gpu_redistribute.h:152 asserts)."""
+    out = run_cli("-x", "4", "-y", "4", "-z", "4", "-N", "4",
+                  "--maxAtoms", "8", "--boxChunk", "16")
+    assert out.returncode != 0
+    text = out.stdout + out.stderr
+    assert "capacity" in text and "max_atoms" in text
+    assert "Fatal Error" in text
+    assert "Traceback" not in text
