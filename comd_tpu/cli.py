@@ -216,6 +216,10 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         print(f"# WARNING: {n0 - n_final:6d} atoms lost #", file=out)
         print("#############################", file=out)
 
+    # stop the run timers BEFORE any -s profiling: the profiler's own
+    # compiles and repeated dispatches must not inflate the reported total
+    timers.stop("total")
+
     if cfg.gpu_profile:
         # -s: single-force profiling mode (CoMD.c:216-218) -- attribute the
         # step phases with separately dispatched, scanned blocks
@@ -224,8 +228,6 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         phases = profile_phases(sim, out=out)
         print(report_phases(phases, sim.n_global), file=out)
         analyze_input(sim, out=out)
-
-    timers.stop("total")
     print(timers.report(sim.n_global, cfg.n_steps), file=out)
     print(timers.rank_stats(), file=out)
 

@@ -137,14 +137,19 @@ def stencil_sweep(
     j into the force on i) and ``n_scalars`` per-pair values summed over j.
     Empty slots carry SENTINEL coordinates; masking by r2 handles them.
     """
+    if jnp.dtype(r.dtype) != jnp.float32:
+        raise ValueError(
+            "the Pallas stencil kernels run in float32 (Mosaic); use "
+            "dtype='float32' or a non-cta_cell method for f64 dynamics")
     A = r.shape[-1]
     d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
     D = len(b_of_d)
 
     C = min(chunk, _ceil_to(D, 128))
+    CB = min(cb, C)
+    C = _ceil_to(C, CB)      # the kernel's CB sub-block loop needs CB | C
     n_chunks = -(-D // C)
     Dp = n_chunks * C
-    CB = min(cb, C)
     W = _ceil_to(C + 2 * pad, 128)
     L = (n_chunks - 1) * C + W
 
@@ -314,15 +319,20 @@ def stencil_sweep_half(
     are voided by a BIG addend on r2 before ``pair_fn`` sees it.
     """
     from ..sweep import is_local_dense
+    if jnp.dtype(r.dtype) != jnp.float32:
+        raise ValueError(
+            "the Pallas stencil kernels run in float32 (Mosaic); use "
+            "dtype='float32' or a non-cta_cell method for f64 dynamics")
     A = r.shape[-1]
     d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
     D = len(b_of_d)
     offsets = (0,) + tuple(sorted(int(d) for d in flat_offsets if d > 0))
 
     C = min(chunk, _ceil_to(D, 128))
+    CB = min(cb, C)
+    C = _ceil_to(C, CB)      # the kernel's CB sub-block loop needs CB | C
     n_chunks = -(-D // C)
     Dp = n_chunks * C
-    CB = min(cb, C)
     W = _ceil_to(C + 2 * pad, 128)
     WJ = _ceil_to(C + pad, 128)   # j spill: offsets reach (C-CB)+pad+CB
     L = (n_chunks - 1) * C + W

@@ -104,15 +104,20 @@ def exchange_scalar_ki(plan: ExchangePlan, geom: CellGeometry, x,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    cid = 7   # static collective id shared by all stages
+    # distinct collective id per (stage, direction): the barrier/sem
+    # handshake of each push must not be satisfiable by signals from a
+    # neighboring push under device skew (the comm_ki ready-flag
+    # semantics, comm.cc:326-397)
     for axis in range(3):
         name = plan.axis_names[axis]
         send_m, send_p = (jnp.asarray(v) for v in plan.force_send[axis])
         recv_m, recv_p = (jnp.asarray(v) for v in plan.force_recv[axis])
         got_from_plus = _ring_push(x[send_m], name, -1,
-                                   interpret=interpret, collective_id=cid)
+                                   interpret=interpret,
+                                   collective_id=7 + 2 * axis)
         got_from_minus = _ring_push(x[send_p], name, +1,
-                                    interpret=interpret, collective_id=cid)
+                                    interpret=interpret,
+                                    collective_id=8 + 2 * axis)
         x = x.at[recv_p].set(got_from_plus)
         x = x.at[recv_m].set(got_from_minus)
     return x

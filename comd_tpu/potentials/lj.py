@@ -2,7 +2,7 @@
 
 Parameters from Wolf & Phillpot (sigma=2.315 A, epsilon=0.167 eV) with the
 POT_SHIFT=1.0 energy shift so U(rCut)=0 (ljForce.c:83, 166-167).  The pair
-math lives in ops/force_lj.py (XLA) and ops/pallas/lj_cell.py (TPU kernel);
+math lives in ops/force_lj.py (XLA) and ops/pallas/stencil.py (TPU kernel);
 this module is parameters only.
 
 Cutoff note: the reference fork sets cutoff = 5*sigma (ljForce.c:114), but

@@ -220,8 +220,12 @@ def _sample_reference(tab: InterpTable, r: np.ndarray):
     """
     rc = np.maximum(r, tab.x0)
     rr = (rc - tab.x0) * tab.inv_dx
-    ii = np.minimum(np.floor(rr).astype(np.int64), tab.n)
-    frac = np.where(ii > tab.n, 0.0, rr - np.floor(rr))
+    ii = np.floor(rr).astype(np.int64)
+    # over-end test BEFORE the clamp, matching interpolate() exactly: past
+    # the table the value clamps to the last entry with frac = 0
+    over = ii > tab.n
+    ii = np.minimum(ii, tab.n)
+    frac = np.where(over, 0.0, rr - np.floor(rr))
     pad4 = np.concatenate([tab.padded, tab.padded[-1:]])
     tm1, t0, t1, t2 = (pad4[ii + k] for k in range(4))
     g1, g2 = t1 - tm1, t2 - t0

@@ -53,6 +53,12 @@ def _phase_fns(sim):
     if sharded:
         from ..parallel import exchange
         plan = sim.plan
+        if cfg.comm_impl == "ki":
+            from ..parallel import pallas_comm
+            fill = functools.partial(pallas_comm.exchange_scalar_ki,
+                                     plan, geom)
+        else:
+            fill = functools.partial(exchange.exchange_scalar, plan, geom)
 
         def redistribute(s, _):
             r, p, gid, n_atoms, _nm, _ovf = binning.rebucket(
@@ -66,8 +72,6 @@ def _phase_fns(sim):
         def atom_halo(s, _):
             return dataclasses.replace(
                 s, r=exchange.exchange_positions(plan, geom, s.r)), ()
-
-        fill = functools.partial(exchange.exchange_scalar, plan, geom)
     else:
         ext = sim.global_extent
 
@@ -114,6 +118,23 @@ def _phase_fns(sim):
 
         fns["eamHalo"] = eam_halo
 
+    if sim.uses_nl and getattr(sim, "nlist", None) is not None:
+        from ..ops import neighborlist as nlmod
+        params = sim._nl_build_params()
+
+        def nl_build(s, _):
+            nl, _ = nlmod.build(geom, s.r, s.n_atoms, **params)
+            # fold a data-dependent scalar back at negligible weight so the
+            # scan body is not loop-invariant (same trick as force_phase);
+            # this also keeps the phase a state->state fn, so it runs
+            # through the same marginal-scan (and shard_map) machinery as
+            # every other phase
+            dep = jnp.max(nl.nl).astype(s.r.dtype)
+            return dataclasses.replace(
+                s, r=s.r + s.r.dtype.type(1e-30) * dep), ()
+
+        fns["neighborList"] = nl_build
+
     return fns
 
 
@@ -156,26 +177,6 @@ def profile_phases(sim, short: int = 2, long: int = 8, out=None):
         results[name] = max(best, 0.0)
         if out is not None:
             print(f"  [profile] {name:<14} {results[name]*1e3:10.3f} ms",
-                  file=out, flush=True)
-
-    if sim.uses_nl and sim.nlist is not None:
-        # NL build is not a state->state scan; time repeated builds
-        params = sim._nl_build_params()
-        from ..ops import neighborlist as nlmod
-
-        @jax.jit
-        def build(s):
-            nl, _ = nlmod.build(sim.geom, s.r, s.n_atoms, **params)
-            return nl.nl
-        jax.block_until_ready(build(state))
-        best = 1e30
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(build(state))
-            best = min(best, time.perf_counter() - t0)
-        results["neighborList"] = best
-        if out is not None:
-            print(f"  [profile] {'neighborList':<14} {best*1e3:10.3f} ms",
                   file=out, flush=True)
     return results
 
