@@ -111,12 +111,34 @@ class CellGeometry:
 
 
 def make_geometry(local_min, local_max, cutoff: float,
-                  use_hilbert: bool = False) -> CellGeometry:
-    """Build geometry for a local domain (initLinkCells, linkCells.c:122-182)."""
+                  use_hilbert: bool = False,
+                  cell_size=None) -> CellGeometry:
+    """Build geometry for a local domain (initLinkCells, linkCells.c:122-182).
+
+    ``cutoff`` here is the minimum legal cell size (pair cutoff + skin); the
+    default sizing truncates like the reference (grid = floor(extent/cutoff)).
+    ``cell_size`` (scalar or [3]) overrides the sizing with an explicit cell
+    edge that must tile the extent exactly -- used by the lattice-commensurate
+    plan (plan_cells), where cell = (k/2)*lat aligns cell faces midway between
+    FCC site planes so occupancy is uniform and capacity carries no slack.
+    """
     local_min = np.asarray(local_min, dtype=np.float64)
     local_max = np.asarray(local_max, dtype=np.float64)
     extent = local_max - local_min
-    grid = tuple(int(extent[i] / cutoff) for i in range(3))  # trunc, as in C
+    if cell_size is not None:
+        cs = np.broadcast_to(np.asarray(cell_size, np.float64), (3,))
+        grid = tuple(int(round(extent[i] / cs[i])) for i in range(3))
+        for i in range(3):
+            if abs(grid[i] * cs[i] - extent[i]) > 1e-8 * extent[i]:
+                raise ValueError(
+                    f"cell_size {cs} does not tile extent {extent} "
+                    f"(axis {i}: {grid[i]} cells)")
+        if cs.min() < cutoff * (1.0 - 1e-12):
+            raise ValueError(
+                f"cell_size {cs} below minimum legal cell {cutoff} "
+                f"(pair cutoff + skin)")
+    else:
+        grid = tuple(int(extent[i] / cutoff) for i in range(3))  # trunc, as in C
     if min(grid) < 2:
         raise ValueError(
             f"local domain too small: grid {grid} needs >=2 cells per axis "
@@ -201,6 +223,147 @@ def make_geometry(local_min, local_max, cutoff: float,
     object.__setattr__(geom, "halo_src", halo_src)
     object.__setattr__(geom, "halo_shift", halo_shift)
     return geom
+
+
+@dataclasses.dataclass(frozen=True)
+class CellPlan:
+    """Resolved cell sizing for one run (see plan_cells)."""
+    cell_size: np.ndarray      # [3] f64 local cell edge per axis
+    skin: float                # rebucket/NL trigger skin (cell slack)
+    max_atoms: int             # resolved per-cell capacity
+    mode: str                  # "commensurate" | "classic"
+    t0_max_occ: int            # measured t=0 peak occupancy
+    mean_occ: float            # mean atoms per cell
+    boundary_margin: float     # min site distance to a cell face at t=0 (A)
+
+
+def _occupancy_stats(r: np.ndarray, cell: np.ndarray, extent: np.ndarray):
+    """t=0 occupancy (max, mean) and min site-to-face margin for a global
+    atom set binned on a grid of the given cell size."""
+    cell = np.asarray(cell, np.float64)
+    grid = np.maximum(np.round(extent / cell).astype(np.int64), 1)
+    idx = np.clip(np.floor(r / cell).astype(np.int64), 0, grid - 1)
+    flat = idx[:, 0] + grid[0] * (idx[:, 1] + grid[1] * idx[:, 2])
+    counts = np.bincount(flat, minlength=int(np.prod(grid)))
+    frac = r / cell - np.floor(r / cell)
+    margin = float((np.minimum(frac, 1.0 - frac) * cell).min())
+    return int(counts.max()), float(len(r) / np.prod(grid)), margin
+
+
+def _round8(v: int) -> int:
+    return max(8, -(-v // 8) * 8)
+
+
+def _slot_cost(a_cap: int, mean_occ: float) -> float:
+    """Relative sweep cost per atom for capacity A: the pair tensor is
+    [C, A, 27A]; A rides sublanes (padded to 8) and 27A rides lanes (padded
+    to 128), and every slot pair costs the same VPU work whether occupied or
+    not (measured ~95% of roofline per slot pair, docs/BENCHMARKS.md)."""
+    sub = _round8(a_cap)
+    lanes = -(-27 * a_cap // 128) * 128
+    return sub * lanes / max(mean_occ, 1e-9)
+
+
+def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
+               r_global: np.ndarray, skin_req: float, lazy: bool,
+               mode: str = "auto", max_atoms: int = 0,
+               trigger_from_cell: bool = True) -> CellPlan:
+    """Choose cell size + per-cell capacity for a run (TPU-native addition).
+
+    The reference fixes MAXATOMS=64 at compile time (Makefile:16) and sizes
+    cells by truncation (linkCells.c:131); on TPU the sweep cost is
+    proportional to *capacity slots*, not atoms, so slack is the dominant
+    waste (mean occupancy ~14 of 32 on the classic EAM grid).  Two candidate
+    sizings are priced against the measured slot-cost model and the cheaper
+    one wins:
+
+      - classic: grid = floor(extent / (cutoff + skin_req)), the reference
+        sizing.  t=0 FCC/grid commensuration spikes force capacity ~2.3x the
+        mean occupancy.
+      - commensurate: cell = (k/2)*lat for the smallest legal k.  FCC site
+        planes sit at (0.25 + 0.5*m)*lat, so every cell face falls exactly
+        midway between site planes (0.25*lat = 0.90 A margin for Cu):
+        occupancy is uniform (exactly 32 at k=4; 13-14 at k=3), capacity
+        carries no slack, and thermal motion (~0.15 A rms at 600 K) cannot
+        reach a face, so occupancy is also stable in time.
+
+    Capacity ``max_atoms``: 0 = auto, resolved to round8(t=0 max occupancy).
+    Commensurate grids are occupancy-stable by the margin argument; classic
+    grids rely on the measured fact that t=0 commensuration spikes *relax*
+    under dynamics (equilibrated peak 27 < 32, docs/BENCHMARKS.md).  The
+    in-program overflow flag aborts loudly if a run ever exceeds capacity
+    (cli.py), so mis-sizing cannot corrupt a trajectory.
+
+    Args:
+      n_cells: (nx, ny, nz) global unit cells; proc_grid: (px, py, pz).
+      r_global: [n, 3] generated global positions (post -r displacement).
+      skin_req: requested absolute skin (cutoff * -S), shapes the classic
+        sizing and the minimum commensurate slack when ``lazy``.
+      mode: "auto" (price both), "commensurate" (require), "classic".
+      trigger_from_cell: return skin = min(cell) - cutoff (max legal rebucket
+        trigger, lazy cell methods); False keeps skin_req (NL paths, where a
+        larger skin would inflate the Verlet K).
+    """
+    extent = np.array([n * lat for n in n_cells], np.float64)
+    local_ext = extent / np.asarray(proc_grid, np.float64)
+
+    candidates = []
+    if mode in ("auto", "classic"):
+        g = np.floor(local_ext / (cutoff + skin_req)).astype(int)
+        if g.min() >= 2:
+            candidates.append(("classic", local_ext / g))
+        elif mode == "classic":
+            raise ValueError(
+                f"local domain too small: classic grid {tuple(g)} needs >=2 "
+                f"cells per axis (extent {local_ext}, "
+                f"cell {cutoff + skin_req})")
+    if mode in ("auto", "commensurate"):
+        # minimum slack so lazy rebuilds stay amortized; eager runs only
+        # need cell > cutoff
+        min_cell = cutoff + (0.4 * skin_req if lazy else 0.0)
+        comm = []
+        for n, p in zip(n_cells, proc_grid):
+            if (2 * n) % p != 0:
+                comm = None
+                break
+            m = 2 * n // p          # local extent in half-lattice units
+            k = None
+            for cand in range(int(np.ceil(2 * min_cell / lat - 1e-12)),
+                              m // 2 + 1):
+                if m % cand == 0 and cand * lat / 2 > cutoff * (1 + 1e-9):
+                    k = cand
+                    break
+            if k is None:
+                comm = None
+                break
+            comm.append(k * lat / 2)
+        if comm is not None:
+            candidates.append(("commensurate", np.asarray(comm)))
+        elif mode == "commensurate":
+            raise ValueError(
+                "no lattice-commensurate cell size: need (2*n)%p == 0 and a "
+                f"divisor k of 2n/p with k*lat/2 > cutoff (n={n_cells}, "
+                f"p={proc_grid}, lat={lat}, cutoff={cutoff})")
+    if not candidates:
+        raise ValueError("no feasible cell sizing (domain too small)")
+
+    best = None
+    for cand_mode, cell in candidates:
+        t0_max, mean_occ, margin = _occupancy_stats(r_global, cell, extent)
+        a_cap = max_atoms if max_atoms > 0 else _round8(t0_max)
+        cost = _slot_cost(a_cap, mean_occ)
+        plan = CellPlan(
+            cell_size=np.asarray(cell, np.float64),
+            skin=(float(np.min(cell)) - cutoff if trigger_from_cell
+                  else skin_req),
+            max_atoms=a_cap, mode=cand_mode, t0_max_occ=t0_max,
+            mean_occ=mean_occ, boundary_margin=margin)
+        # strict < : commensurate (listed second under "auto") also wins
+        # ties, since its occupancy is stable in time
+        if best is None or cost < best[0] or (
+                cost == best[0] and cand_mode == "commensurate"):
+            best = (cost, plan)
+    return best[1]
 
 
 def boundary_lists(geom: CellGeometry, ring: int = 1):

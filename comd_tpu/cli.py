@@ -66,8 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("-L", "--usePairlist", action="store_true",
       help="use pairlists in Lennard-Jones computation")
     # --- TPU-native extensions ---
-    a("--maxAtoms", type=int, default=32,
-      help="per-cell capacity (reference compile-time MAXATOMS)")
+    a("--maxAtoms", type=int, default=0,
+      help="per-cell capacity (reference compile-time MAXATOMS); "
+           "0 = auto-size from the t=0 occupancy")
+    a("--cellMode", default="auto",
+      choices=["auto", "commensurate", "classic"],
+      help="cell sizing: classic reference floor(extent/cutoff), "
+           "lattice-commensurate (k/2)*lat cells (uniform occupancy, "
+           "no capacity slack), or auto (price both, take the cheaper)")
     a("--dtype", default="float32", choices=["float32", "float64"],
       help="dynamics precision (energies always f64-accumulated)")
     a("--boxChunk", type=int, default=256, help="cells per force-sweep chunk")
@@ -102,7 +108,8 @@ def config_from_args(args) -> Config:
         method=args.method, gpu_async=args.gpuAsync,
         gpu_profile=args.gpuProfile, lj_interpolation=args.ljInterpolation,
         spline=args.spline, use_pairlist=args.usePairlist,
-        max_atoms=args.maxAtoms, dtype=args.dtype, box_chunk=args.boxChunk,
+        max_atoms=args.maxAtoms, cell_mode=args.cellMode,
+        dtype=args.dtype, box_chunk=args.boxChunk,
         half_shell=args.halfShell, energy_every_step=args.energyEveryStep,
     )
 

@@ -66,7 +66,20 @@ class Config:
     use_pairlist: bool = False            # -L: persistent pair masks
 
     # --- TPU-native knobs (replace reference compile-time constants) ---
-    max_atoms: int = 32         # per-cell capacity (reference MAXATOMS=64)
+    max_atoms: int = 0          # per-cell capacity (reference compile-time
+                                # MAXATOMS=64, Makefile:16); 0 = auto-size
+                                # from the measured t=0 peak occupancy
+                                # (cells.plan_cells) -- sweep cost scales
+                                # with capacity slots, so auto beats any
+                                # fixed constant
+    cell_mode: str = "auto"     # cell sizing: "classic" (reference
+                                # floor(extent/cutoff), linkCells.c:131),
+                                # "commensurate" (cell=(k/2)*lat so faces
+                                # fall midway between FCC site planes:
+                                # uniform, time-stable occupancy -> no
+                                # capacity slack), "auto" = price both
+                                # against the slot-cost model and take the
+                                # cheaper (cells.plan_cells)
     dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
     energy_dtype: str = "float64"
     box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)

@@ -30,7 +30,7 @@ from ..ops import neighborlist as nlmod
 from ..potentials.eam import EamPotential
 from . import exchange
 from ..sim import (SimState, NLSimState, LazySimState, bin_atoms_host,
-                   init_potential)
+                   init_potential, plan_geometry)
 
 
 def _strip(state):
@@ -77,6 +77,7 @@ class ShardedSimulation:
     n_global: int
     state: SimState                   # leading dims [Px, Py, Pz]
     lattice_const: float
+    skin_eff: float | None = None     # resolved trigger skin (plan_cells)
 
     def __post_init__(self):
         self._step_block = {}
@@ -101,8 +102,11 @@ class ShardedSimulation:
 
     @property
     def skin(self) -> float:
-        return (self.pot.cutoff * self.cfg.relative_skin_distance
-                if (self.uses_nl or self.uses_lazy) else 0.0)
+        if not (self.uses_nl or self.uses_lazy):
+            return 0.0
+        if self.skin_eff is not None:
+            return self.skin_eff
+        return self.pot.cutoff * self.cfg.relative_skin_distance
 
     # ---------------- per-shard physics (runs inside shard_map) ----------
 
@@ -544,25 +548,22 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
     pgrid = np.array([cfg.xproc, cfg.yproc, cfg.zproc])
     local_extent = global_extent / pgrid
 
-    # the lazy-shell path (default) also needs the skin folded into the cell
-    # size: cells sized to cutoff alone would let atoms drift out of the
-    # 27-neighborhood between skin/2-triggered rebuilds (same condition as
-    # the serial init, sim.py init_simulation)
-    use_skin = (cfg.use_nl or cfg.use_pairlist
-                or (cfg.lazy_shell and cfg.relative_skin_distance > 0))
-    skin = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
-    # per-shard geometry in the shard-local frame [0, local_extent)
-    geom = cells.make_geometry(np.zeros(3), local_extent, pot.cutoff + skin,
-                               use_hilbert=cfg.do_hilbert)
-    plan = exchange.make_plan(geom)
-    mesh = make_mesh(cfg.xproc, cfg.yproc, cfg.zproc, devices)
-
     # host-side scene generation in the global frame (reference-exact)
     r, gid = lattice.create_fcc_lattice(
         cfg.nx, cfg.ny, cfg.nz, lat, np.zeros(3), global_extent)
     n_global = 4 * cfg.nx * cfg.ny * cfg.nz
     p = lattice.set_temperature(gid, pot.mass, cfg.temperature, n_global)
     r = lattice.random_displacements(r, gid, cfg.initial_delta)
+
+    # per-shard geometry in the shard-local frame [0, local_extent); the
+    # lazy-shell path folds the skin into the cell size (cells sized to
+    # cutoff alone would let atoms drift out of the 27-neighborhood between
+    # skin/2-triggered rebuilds)
+    cfg, geom, cplan = plan_geometry(
+        cfg, pot, lat, r, (cfg.nx, cfg.ny, cfg.nz),
+        (cfg.xproc, cfg.yproc, cfg.zproc), np.zeros(3), local_extent)
+    plan = exchange.make_plan(geom)
+    mesh = make_mesh(cfg.xproc, cfg.yproc, cfg.zproc, devices)
 
     # partition atoms to shards; convert to shard-local frames
     shard_idx = np.minimum(
@@ -597,7 +598,7 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
     sim = ShardedSimulation(
         cfg=cfg, pot=pot, geom=geom, plan=plan, mesh=mesh,
         global_extent=global_extent, n_global=n_global, state=state,
-        lattice_const=lat)
+        lattice_const=lat, skin_eff=cplan.skin)
 
     # initial ghost fill: run the exchange once (atoms are freshly binned)
     sim.state = sim._wrap(_initial_exchange_fn(sim))(sim.state)

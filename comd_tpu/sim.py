@@ -75,6 +75,8 @@ class Simulation:
     n_global: int
     state: SimState
     lattice_const: float
+    skin_eff: Optional[float] = None   # resolved trigger skin (plan_cells);
+                                       # None -> cutoff * -S (legacy)
 
     def __post_init__(self):
         self._step_block = {}
@@ -97,8 +99,11 @@ class Simulation:
 
     @property
     def skin(self) -> float:
-        return (self.pot.cutoff * self.cfg.relative_skin_distance
-                if (self.uses_nl or self.uses_lazy) else 0.0)
+        if not (self.uses_nl or self.uses_lazy):
+            return 0.0
+        if self.skin_eff is not None:
+            return self.skin_eff
+        return self.pot.cutoff * self.cfg.relative_skin_distance
 
     # ---------------- force + energy ----------------
 
@@ -480,13 +485,6 @@ def init_simulation(cfg: Config):
     lat = cfg.lat if cfg.lat > 0 else pot.lat
     global_extent = np.array([cfg.nx, cfg.ny, cfg.nz], np.float64) * lat
 
-    use_skin = (cfg.use_nl or cfg.use_pairlist
-                or (cfg.lazy_shell and cfg.relative_skin_distance > 0))
-    skin = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
-    geom = cells.make_geometry(
-        np.zeros(3), global_extent, pot.cutoff + skin,
-        use_hilbert=cfg.do_hilbert)
-
     # --- host-side scene generation (numpy, reference-exact) ---
     r, gid = lattice.create_fcc_lattice(
         cfg.nx, cfg.ny, cfg.nz, lat, np.zeros(3), global_extent)
@@ -495,10 +493,14 @@ def init_simulation(cfg: Config):
     p = lattice.set_temperature(gid, pot.mass, cfg.temperature, n_global)
     r = lattice.random_displacements(r, gid, cfg.initial_delta)
 
+    cfg, geom, plan = plan_geometry(
+        cfg, pot, lat, r, (cfg.nx, cfg.ny, cfg.nz), (1, 1, 1),
+        np.zeros(3), global_extent)
+
     state = bin_atoms_host(geom, cfg, r, p, gid)
     sim = Simulation(cfg=cfg, pot=pot, geom=geom,
                      global_extent=global_extent, n_global=n_global,
-                     state=state, lattice_const=lat)
+                     state=state, lattice_const=lat, skin_eff=plan.skin)
 
     # fill halo + (NL build) + first force (CoMD.c:303-318)
     sim.state = _initial_halo(sim)
@@ -506,6 +508,36 @@ def init_simulation(cfg: Config):
         sim.build_neighbor_list()
     sim.compute_force()
     return sim
+
+
+def plan_geometry(cfg: Config, pot, lat: float, r_global: np.ndarray,
+                  n_cells, proc_grid, local_min, local_max):
+    """Resolve cell sizing + capacity (cells.plan_cells) and build the local
+    CellGeometry.  Returns (cfg', geom, plan) with cfg' carrying the
+    *resolved* max_atoms and cell_mode so downstream consumers (checkpoint
+    restore, CLI messages, NL sizing) see concrete values.
+
+    NL / pairlist methods keep the classic sizing and the requested -S skin
+    (a larger trigger skin would inflate the Verlet K); cell-sweep methods
+    use the full cell slack min(cell) - cutoff as the rebucket trigger."""
+    uses_nl = cfg.use_nl or cfg.use_pairlist
+    lazy = (not uses_nl and cfg.lazy_shell
+            and cfg.relative_skin_distance > 0)
+    use_skin = uses_nl or lazy
+    skin_req = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
+
+    plan = cells.plan_cells(
+        cutoff=pot.cutoff, lat=lat, n_cells=n_cells, proc_grid=proc_grid,
+        r_global=r_global, skin_req=skin_req, lazy=lazy,
+        mode="classic" if uses_nl else cfg.cell_mode,
+        max_atoms=cfg.max_atoms, trigger_from_cell=not uses_nl)
+    cfg = dataclasses.replace(cfg, max_atoms=plan.max_atoms,
+                              cell_mode=plan.mode)
+    geom = cells.make_geometry(
+        np.asarray(local_min, np.float64), np.asarray(local_max, np.float64),
+        pot.cutoff + (plan.skin if use_skin else 0.0),
+        use_hilbert=cfg.do_hilbert, cell_size=plan.cell_size)
+    return cfg, geom, plan
 
 
 def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,

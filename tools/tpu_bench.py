@@ -32,15 +32,21 @@ def main():
 
     import os
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
-    max_atoms = int(os.environ.get("BENCH_MAXATOMS", 32))
+    max_atoms = int(os.environ.get("BENCH_MAXATOMS", 0))   # 0 = auto
+    cell_mode = os.environ.get("BENCH_CELLMODE", "auto")
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    interp = os.environ.get("BENCH_INTERP", "auto")
     half = os.environ.get("BENCH_HALF", "0") == "1"
     pot_type = os.environ.get("BENCH_POT_TYPE", "funcfl")
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
-                 dtype="float32", max_atoms=max_atoms, box_chunk=chunk,
+                 dtype=dtype, max_atoms=max_atoms, cell_mode=cell_mode,
+                 interp_impl=interp, box_chunk=chunk,
                  half_shell=half, method=method, pot_type=pot_type,
                  pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
-    log(f"init done atoms={sim.n_global} method={method}")
+    log(f"init done atoms={sim.n_global} method={method} "
+        f"cell_mode={sim.cfg.cell_mode} A={sim.cfg.max_atoms} "
+        f"grid={sim.geom.grid} occ_max={sim.max_occupancy()}")
 
     # Marginal timing over printRate-sized blocks: `short`/`long` count
     # BLOCKS of `block` steps each, so the energy-reporting step (1 per
