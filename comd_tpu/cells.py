@@ -238,8 +238,12 @@ class CellPlan:
 
 
 def _occupancy_stats(r: np.ndarray, cell: np.ndarray, extent: np.ndarray):
-    """t=0 occupancy (max, mean) and min site-to-face margin for a global
-    atom set binned on a grid of the given cell size."""
+    """t=0 occupancy max and min site-to-face margin for an atom set binned
+    on a grid of the given cell size.  ``r`` may be any subset of the global
+    atoms (multi-host planning bins only the local shards' atoms and reduces
+    the results across processes)."""
+    if len(r) == 0:
+        return 0, np.inf
     cell = np.asarray(cell, np.float64)
     grid = np.maximum(np.round(extent / cell).astype(np.int64), 1)
     idx = np.clip(np.floor(r / cell).astype(np.int64), 0, grid - 1)
@@ -247,7 +251,7 @@ def _occupancy_stats(r: np.ndarray, cell: np.ndarray, extent: np.ndarray):
     counts = np.bincount(flat, minlength=int(np.prod(grid)))
     frac = r / cell - np.floor(r / cell)
     margin = float((np.minimum(frac, 1.0 - frac) * cell).min())
-    return int(counts.max()), float(len(r) / np.prod(grid)), margin
+    return int(counts.max()), margin
 
 
 def _round8(v: int) -> int:
@@ -258,8 +262,15 @@ def _slot_cost(a_cap: int, mean_occ: float) -> float:
     """Relative sweep cost per atom for capacity A: the pair tensor is
     [C, A, 27A]; A rides sublanes (padded to 8) and 27A rides lanes (padded
     to 128), and every slot pair costs the same VPU work whether occupied or
-    not (measured ~95% of roofline per slot pair, docs/BENCHMARKS.md)."""
-    sub = _round8(a_cap)
+    not (measured ~95% of roofline per slot pair, docs/BENCHMARKS.md).
+
+    The sublane term floors at 32: measured on v5e (round 3), the A=16
+    sweep runs at ~1.9x the per-slot-pair cost of the A=32 sweep --
+    shrinking A below 32 buys lanes but not sublane time.  With the floor
+    the model ranks the three measured 1M-atom EAM configs correctly
+    (k=4 exact-pack 896 < k=3 1214 < classic 2026 model units, against
+    measured 42 < 55 < 107 ns/atom)."""
+    sub = max(_round8(a_cap), 32)
     lanes = -(-27 * a_cap // 128) * 128
     return sub * lanes / max(mean_occ, 1e-9)
 
@@ -267,7 +278,9 @@ def _slot_cost(a_cap: int, mean_occ: float) -> float:
 def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
                r_global: np.ndarray, skin_req: float, lazy: bool,
                mode: str = "auto", max_atoms: int = 0,
-               trigger_from_cell: bool = True) -> CellPlan:
+               trigger_from_cell: bool = True,
+               n_atoms_total: int = None,
+               stat_reduce=None) -> CellPlan:
     """Choose cell size + per-cell capacity for a run (TPU-native addition).
 
     The reference fixes MAXATOMS=64 at compile time (Makefile:16) and sizes
@@ -303,6 +316,11 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
       trigger_from_cell: return skin = min(cell) - cutoff (max legal rebucket
         trigger, lazy cell methods); False keeps skin_req (NL paths, where a
         larger skin would inflate the Verlet K).
+      n_atoms_total: global atom count when ``r_global`` is a local subset
+        (multi-host init bins only the shards this process owns).
+      stat_reduce: callable ((t0_max, margin)) -> (t0_max, margin) combining
+        the local occupancy stats across processes (max, min); None = the
+        atom set is already global.
     """
     extent = np.array([n * lat for n in n_cells], np.float64)
     local_ext = extent / np.asarray(proc_grid, np.float64)
@@ -321,24 +339,32 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
         # minimum slack so lazy rebuilds stay amortized; eager runs only
         # need cell > cutoff
         min_cell = cutoff + (0.4 * skin_req if lazy else 0.0)
-        comm = []
+        k_lo = int(np.ceil(2 * min_cell / lat - 1e-12))
+        feas = []                   # per-axis feasible k lists
         for n, p in zip(n_cells, proc_grid):
             if (2 * n) % p != 0:
-                comm = None
+                feas = None
                 break
             m = 2 * n // p          # local extent in half-lattice units
-            k = None
-            for cand in range(int(np.ceil(2 * min_cell / lat - 1e-12)),
-                              m // 2 + 1):
-                if m % cand == 0 and cand * lat / 2 > cutoff * (1 + 1e-9):
-                    k = cand
-                    break
-            if k is None:
-                comm = None
+            ks = [k for k in range(k_lo, m // 2 + 1)
+                  if m % k == 0 and k * lat / 2 > cutoff * (1 + 1e-9)]
+            if not ks:
+                feas = None
                 break
-            comm.append(k * lat / 2)
-        if comm is not None:
-            candidates.append(("commensurate", np.asarray(comm)))
+            feas.append(ks)
+        if feas is not None:
+            # isotropic candidates (same k every axis): several feasible k
+            # are priced -- the cost model decides (e.g. the k=4 exact-pack
+            # cell of 2 whole unit cells beats smaller-k cells on v5e)
+            common = sorted(set(feas[0]).intersection(*map(set, feas[1:])))
+            cands_k = [[k] * 3 for k in common[:3]]
+            smallest = [ks[0] for ks in feas]   # per-axis smallest (aniso)
+            if smallest not in cands_k:
+                cands_k.append(smallest)
+            for kk in cands_k:
+                candidates.append(
+                    ("commensurate",
+                     np.asarray([k * lat / 2 for k in kk])))
         elif mode == "commensurate":
             raise ValueError(
                 "no lattice-commensurate cell size: need (2*n)%p == 0 and a "
@@ -347,9 +373,14 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
     if not candidates:
         raise ValueError("no feasible cell sizing (domain too small)")
 
+    n_total = n_atoms_total if n_atoms_total is not None else len(r_global)
     best = None
     for cand_mode, cell in candidates:
-        t0_max, mean_occ, margin = _occupancy_stats(r_global, cell, extent)
+        t0_max, margin = _occupancy_stats(r_global, cell, extent)
+        if stat_reduce is not None:
+            t0_max, margin = stat_reduce((t0_max, margin))
+        grid = np.maximum(np.round(extent / cell).astype(np.int64), 1)
+        mean_occ = float(n_total / np.prod(grid))
         a_cap = max_atoms if max_atoms > 0 else _round8(t0_max)
         cost = _slot_cost(a_cap, mean_occ)
         plan = CellPlan(

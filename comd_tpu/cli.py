@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
       help="profiling mode: reboxing disabled, single force run")
     a("-I", "--ljInterpolation", action="store_true",
       help="compute Lennard-Jones potential using interpolation")
+    a("--ljCutoffFactor", type=float, default=2.5,
+      help="LJ cutoff in units of sigma (2.5 = upstream CoMD golden "
+           "config; 5 = the reference fork's ljForce.c:114)")
     a("-P", "--spline", action="store_true",
       help="use splines for interpolation")
     a("-L", "--usePairlist", action="store_true",
@@ -94,6 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
     a("--restore", default=None, metavar="DIR",
       help="resume from a checkpoint directory (geometry/potential flags "
            "come from the stored config; -N adds steps on top)")
+    # --- multi-host launch (the reference's mpirun surface, parallel.c) ---
+    import os as _os
+    a("--coordinator", default=_os.environ.get("COMD_COORDINATOR"),
+      metavar="HOST:PORT",
+      help="jax.distributed coordinator address (process 0's host:port); "
+           "enables multi-process execution together with --numProcs")
+    a("--numProcs", type=int,
+      default=int(_os.environ.get("COMD_NUM_PROCS", "1")),
+      help="total number of launched processes (multi-host slice)")
+    a("--procId", type=int,
+      default=int(_os.environ.get("COMD_PROC_ID", "-1")),
+      help="this process's id in 0..numProcs-1")
     return p
 
 
@@ -108,6 +123,7 @@ def config_from_args(args) -> Config:
         method=args.method, gpu_async=args.gpuAsync,
         gpu_profile=args.gpuProfile, lj_interpolation=args.ljInterpolation,
         spline=args.spline, use_pairlist=args.usePairlist,
+        lj_cutoff_factor=args.ljCutoffFactor,
         max_atoms=args.maxAtoms, cell_mode=args.cellMode,
         dtype=args.dtype, box_chunk=args.boxChunk,
         half_shell=args.halfShell, energy_every_step=args.energyEveryStep,
@@ -150,7 +166,20 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         sim, step0 = ckpt.load(restore)
         print(f"Restored checkpoint {restore} at step {step0}", file=out)
         # physics/geometry come from the stored config; the run-control
-        # flags (-N steps to add, -n print rate) from THIS command line
+        # flags (-N steps to add, -n print rate) from THIS command line.
+        # Warn about any other flag that differs from the stored config --
+        # it is silently ignored, which would otherwise surprise (e.g. an
+        # -e or --dtype mismatch).
+        ignored = []
+        for f in dataclasses.fields(cfg):
+            if f.name in ("n_steps", "print_rate"):
+                continue
+            new, old = getattr(cfg, f.name), getattr(sim.cfg, f.name)
+            if new != old and new != getattr(Config(), f.name):
+                ignored.append(f"{f.name}={new!r} (checkpoint has {old!r})")
+        if ignored:
+            print("# WARNING: --restore ignores these flags; the stored "
+                  "config wins: " + ", ".join(ignored), file=out)
         sim.cfg = dataclasses.replace(sim.cfg, n_steps=cfg.n_steps,
                                       print_rate=cfg.print_rate)
     else:
@@ -252,10 +281,15 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
 
 
 def _write_yaml(yaml_dir, cfg: Config, sim, result, timers, out):
-    """YAML run report (yamlOutput.c, CoMD.c:498-552)."""
+    """YAML run report (yamlOutput.c, CoMD.c:498-552).  Collective-safe:
+    every process computes the global reductions, only process 0 writes."""
     from . import __version__
     from .utils.yaml_output import YamlReport
 
+    max_occ = sim.max_occupancy()          # collective under multi-process
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     rep = YamlReport(out_dir=yaml_dir).open()
     rep.header(__version__)
     rep.section("Command Line Parameters")
@@ -271,7 +305,7 @@ def _write_yaml(yaml_dir, cfg: Config, sim, result, timers, out):
     rep.kv("Box size", list(sim.geom.box_size))
     rep.kv("Box factor", list(sim.geom.box_size / sim.pot.cutoff))
     rep.kv("Max Link Cell Occupancy",
-           f"{sim.max_occupancy()} of {cfg.max_atoms}")
+           f"{max_occ} of {cfg.max_atoms}")
     rep.section("Potential data")
     for k, v in sim.pot.describe():
         rep.kv(k, v)
@@ -290,21 +324,36 @@ def analyze_input(sim, out=sys.stdout):
     """Occupancy histogram of link cells (AnalyzeInput,
     src-mpi/gpu_utility.c:785-862)."""
     import numpy as np
-    counts = np.asarray(sim.state.n_atoms)[..., :sim.geom.n_local].ravel()
-    hist = np.bincount(counts, minlength=sim.cfg.max_atoms + 1)
+    hist = np.asarray(sim.occupancy_histogram())
     print("# cell-occupancy histogram (atoms-per-cell, num-cells)", file=out)
     for occ, n in enumerate(hist):
         if n:
             print(f"{occ:4d} {n:8d}", file=out)
-    print(f"# mean {counts.mean():.2f}  max {counts.max()}  "
+    occ = np.arange(len(hist))
+    n_cells = hist.sum()
+    mean = float((occ * hist).sum() / max(n_cells, 1))
+    hi = int(occ[hist > 0].max()) if n_cells else 0
+    print(f"# mean {mean:.2f}  max {hi}  "
           f"capacity {sim.cfg.max_atoms}", file=out)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    out = sys.stdout
+    if args.numProcs > 1:
+        # multi-process launch (initParallel analog, parallel.c:66-118):
+        # every process runs the same program; only process 0 prints
+        # (printRank, parallel.c:48-52)
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.numProcs, process_id=args.procId)
+        if jax.process_index() != 0:
+            import os
+            out = open(os.devnull, "w")
     try:
-        run(cfg, yaml_dir=args.yaml, analyze=args.analyze,
+        run(cfg, out=out, yaml_dir=args.yaml, analyze=args.analyze,
             restore=args.restore, checkpoint=args.checkpoint,
             checkpoint_rate=args.checkpointRate)
     except (ValueError, FileNotFoundError) as e:

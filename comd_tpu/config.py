@@ -62,6 +62,9 @@ class Config:
     gpu_async: int = 0                    # -a: interior/boundary overlap
     gpu_profile: bool = False             # -s: 0 steps, single force eval
     lj_interpolation: bool = False        # -I: table-interpolated LJ
+    lj_cutoff_factor: float = 2.5         # LJ cutoff / sigma: 2.5 = upstream
+                                          # CoMD golden config; 5.0 = the
+                                          # reference fork (ljForce.c:114)
     spline: bool = False                  # -P: cubic-spline tables
     use_pairlist: bool = False            # -L: persistent pair masks
 
@@ -89,7 +92,10 @@ class Config:
                                 # (Chebyshev-in-r^2 FMA chain, no memory
                                 # access at all, ~3e-6/3e-4 rel value/force
                                 # vs the reference interpolant), "auto" =
-                                # cheb for f32 dynamics, rows for f64
+                                # cheb for f32 dynamics, twolevel for f64
+                                # (reference-interpolant-exact to <=1 ulp;
+                                # "rows" is the bit-exact oracle, ~100x
+                                # slower on TPU, request it explicitly)
     comm_impl: str = "collective"  # dfEmbed halo transport: "collective"
                                    # (lax.ppermute; XLA owns scheduling) or
                                    # "ki" (Pallas make_async_remote_copy --
@@ -144,7 +150,7 @@ class Config:
     def resolved_interp_impl(self) -> str:
         if self.interp_impl != "auto":
             return self.interp_impl
-        return "cheb" if self.dtype == "float32" else "rows"
+        return "cheb" if self.dtype == "float32" else "twolevel"
 
     @property
     def jax_dtype(self):

@@ -50,31 +50,51 @@ def create_fcc_lattice(nx: int, ny: int, nz: int, lat: float,
     return r[order], gid[order]
 
 
-def set_temperature(gid: np.ndarray, mass: float, temperature: float,
-                    n_global: int):
-    """Boltzmann momenta + VCM removal + exact rescale
-    (setTemperature, initAtoms.c:162-198).  Returns p [n,3] f64."""
-    n = gid.shape[0]
+def _raw_momenta(gid: np.ndarray, mass: float, temperature: float):
     sigma = np.sqrt(KB_EV * temperature / mass)
     g = native.gasdev3(gid, 123)           # [n, 3] in (px, py, pz) call order
     if g is None:
         g = rng.gasdev_n(gid, 123, 3).T
-    p = (mass * sigma) * g                 # [n, 3]
+    return (mass * sigma) * g              # [n, 3]
 
+
+def temperature_params(mass: float, temperature: float, n_global: int):
+    """Global (vcm, scale) of setTemperature (initAtoms.c:128-195), computed
+    from the full deterministic gid range 0..n_global-1 WITHOUT needing the
+    atoms themselves -- the per-atom RNG streams are gid-seeded, so any
+    process can reproduce the global momentum sums bit-for-bit.  This is
+    what makes per-shard initialization possible on multi-host slices: no
+    rank ever materializes global positions, only this O(n) momentum pass.
+    """
     if temperature == 0.0:
-        return p
-
-    # setVcm(0): momentum shift so total momentum is zero (initAtoms.c:128-150)
-    total_mass = mass * n_global
-    vcm = p.sum(axis=0) / total_mass       # note: global sums when sharded --
-    # caller passes the full gid set in this implementation (init is cheap)
+        return np.zeros(3), 1.0
+    gid = np.arange(n_global, dtype=np.int64)
+    p = _raw_momenta(gid, mass, temperature)
+    vcm = p.sum(axis=0) / (mass * n_global)
     p -= mass * vcm
-
-    # rescale to exact temperature (initAtoms.c:183-195)
     e_kinetic = 0.5 * np.sum(p * p) / mass
     temp = (e_kinetic / n_global) / KB_EV / 1.5
-    p *= np.sqrt(temperature / temp)
+    return vcm, np.sqrt(temperature / temp)
+
+
+def apply_temperature(gid: np.ndarray, mass: float, temperature: float,
+                      vcm: np.ndarray, scale: float):
+    """Per-atom momenta for a gid subset given the global (vcm, scale);
+    bitwise identical to set_temperature over the full set."""
+    p = _raw_momenta(gid, mass, temperature)
+    if temperature == 0.0:
+        return p
+    p -= mass * vcm
+    p *= scale
     return p
+
+
+def set_temperature(gid: np.ndarray, mass: float, temperature: float,
+                    n_global: int):
+    """Boltzmann momenta + VCM removal + exact rescale
+    (setTemperature, initAtoms.c:162-198).  Returns p [n,3] f64."""
+    vcm, scale = temperature_params(mass, temperature, n_global)
+    return apply_temperature(gid, mass, temperature, vcm, scale)
 
 
 def random_displacements(r: np.ndarray, gid: np.ndarray, delta: float):

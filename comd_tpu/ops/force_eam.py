@@ -340,6 +340,10 @@ def eam_force_pallas(
     Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
     """
     from .pallas.stencil import eam_pass1_stencil, eam_pass3_stencil
+    if half and fold is None:
+        raise ValueError(
+            "eam_force_pallas(half=True) requires a fold callable to "
+            "deliver halo-row contributions back to owner cells")
     dtype = r.dtype
     B, A = r.shape[1], r.shape[2]
     eval_f = make_f_eval(pot, dtype, "twolevel")

@@ -38,6 +38,18 @@ from ..cells import CellGeometry
 from ..ops import binning
 
 
+def _scope(name):
+    """jax.named_scope decorator: phase names show up in xprof timelines
+    (the NVTX PUSH_RANGE analog, reference haloExchange.c:73-90)."""
+    import functools
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            with jax.named_scope(name):
+                return fn(*a, **k)
+        return wrapper
+    return deco
+
 def _cells_where(geom: CellGeometry, axis: int, values, cross) -> np.ndarray:
     """Box ids whose tuple has t[axis] in ``values`` and the other axes
     within ``cross`` bounds; ordered lexicographically by tuple so sender and
@@ -110,6 +122,7 @@ def _shift_perms(axis_name: str):
     return to_minus, to_plus
 
 
+@_scope("exchange_atoms:atomHalo")
 def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
                    r, p, gid, n_atoms):
     """3-stage staged atom exchange (ghosts + migration + forwarding).
@@ -156,6 +169,7 @@ def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
     return r, p, gid, n_atoms, overflow
 
 
+@_scope("exchange_positions:ghostRefresh")
 def exchange_positions(plan: ExchangePlan, geom: CellGeometry, r):
     """Slot-aligned ghost-position refresh between NL rebuilds.
 
@@ -183,6 +197,7 @@ def exchange_positions(plan: ExchangePlan, geom: CellGeometry, r):
     return r
 
 
+@_scope("fold_halo:forceHaloFold")
 def fold_halo(plan: ExchangePlan, geom: CellGeometry, x):
     """Half-shell force exchange: fold ghost-cell accumulations back into
     their owner cells across the mesh, then return the local rows.
@@ -211,6 +226,7 @@ def fold_halo(plan: ExchangePlan, geom: CellGeometry, x):
     return x[..., :geom.n_local, :]
 
 
+@_scope("exchange_scalar:eamHalo")
 def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x):
     """Staged halo exchange of a per-atom scalar field (EAM dfEmbed).
 

@@ -29,7 +29,7 @@ from ..ops import binning, force_lj, force_eam
 from ..ops import neighborlist as nlmod
 from ..potentials.eam import EamPotential
 from . import exchange
-from ..sim import (SimState, NLSimState, LazySimState, bin_atoms_host,
+from ..sim import (SimState, NLSimState, LazySimState, bin_atoms_host_np,
                    init_potential, plan_geometry)
 
 
@@ -212,18 +212,32 @@ class ShardedSimulation:
         use_async = bool(cfg.gpu_async)
 
         def step(state: SimState, _):
-            p = state.p + state.p.dtype.type(0.5 * dt) * state.f
-            r = state.r + p * p.dtype.type(dt * inv_mass)
-            r_pre, p, gid, n_atoms, _nmig, ovf1 = binning.rebucket(
-                geom, r, p, state.gid, state.n_atoms, keep_halo=True)
-            r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
-                plan, geom, r_pre, p, gid, n_atoms)
-            ovf = jax.lax.psum((ovf1 | ovf2).astype(jnp.int32),
-                               ("x", "y", "z")) > 0
-            r, p, gid = binning.sort_cells(r, p, gid)
-            # async: interior force sweeps read r_pre (identical on interior
-            # cells), so they carry no dependency on the exchange collectives
-            f_loc, e_pot = force(r, n_atoms, r_pre if use_async else None)
+            with jax.named_scope("velocity"):
+                p = state.p + state.p.dtype.type(0.5 * dt) * state.f
+            with jax.named_scope("position"):
+                r = state.r + p * p.dtype.type(dt * inv_mass)
+            with jax.named_scope("redistribute"):
+                r_pre, p, gid, n_atoms, nmig, ovf1 = binning.rebucket(
+                    geom, r, p, state.gid, state.n_atoms, keep_halo=True)
+                r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
+                    plan, geom, r_pre, p, gid, n_atoms)
+                ovf = jax.lax.psum((ovf1 | ovf2).astype(jnp.int32),
+                                   ("x", "y", "z")) > 0
+                r, p, gid = binning.sort_cells(r, p, gid)
+            # async: interior force sweeps read pre-exchange positions (they
+            # are identical on interior cells), so they carry no dependency
+            # on the exchange collectives.  On steps where atoms migrated
+            # ranks, a migrant that landed in a boundary cell WOULD be stale
+            # for ring-2 interior neighbors -- the reference computes
+            # interior kernels on post-redistribution cells
+            # (timestep.c:257-276) -- so those (rare) steps hand the
+            # interior sweep post-exchange positions and give up the
+            # overlap, keeping -a 1 exact every step.
+            if use_async:
+                any_mig = jax.lax.psum(nmig, ("x", "y", "z")) > 0
+                r_pre = jnp.where(any_mig, r, r_pre)
+            with jax.named_scope("force"):
+                f_loc, e_pot = force(r, n_atoms, r_pre if use_async else None)
             f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
                 f_loc.astype(state.f.dtype))
             p = p + p.dtype.type(0.5 * dt) * f
@@ -516,11 +530,36 @@ class ShardedSimulation:
 
         self.state = self._wrap(eval_force)(self.state)
 
+    def _reductions(self):
+        """Jitted global reductions with replicated outputs -- required
+        under multi-process execution, where host-side jnp ops on
+        non-addressable global arrays are illegal (every process calls
+        these collectively, the printRank-independent analog of the
+        reference's addRealParallel, parallel.c:120-185)."""
+        if getattr(self, "_red", None) is None:
+            rep = NamedSharding(self.mesh, P())
+            nl = self.geom.n_local
+            e_dtype = self.cfg.jax_energy_dtype
+            inv_m = 1.0 / self.mass
+
+            @functools.partial(jax.jit, out_shardings=rep)
+            def ke(p):
+                return 0.5 * inv_m * jnp.sum(
+                    jnp.asarray(p[..., :nl, :], e_dtype) ** 2)
+
+            @functools.partial(jax.jit, out_shardings=rep)
+            def n_sum(n_atoms):
+                return jnp.sum(n_atoms[..., :nl, ])
+
+            @functools.partial(jax.jit, out_shardings=rep)
+            def occ_max(n_atoms):
+                return jnp.max(n_atoms[..., :nl, ])
+
+            self._red = (ke, n_sum, occ_max)
+        return self._red
+
     def kinetic_energy(self) -> float:
-        p = self.state.p[..., :self.geom.n_local, :]
-        e = 0.5 * jnp.sum(
-            jnp.asarray(p, self.cfg.jax_energy_dtype) ** 2) / self.mass
-        return float(e)
+        return float(self._reductions()[0](self.state.p))
 
     @property
     def e_potential(self) -> float:
@@ -529,17 +568,83 @@ class ShardedSimulation:
             if self.state.e_potential.ndim else float(self.state.e_potential)
 
     def sum_atoms(self) -> int:
-        return int(jnp.sum(self.state.n_atoms[..., :self.geom.n_local]))
+        return int(self._reductions()[1](self.state.n_atoms))
 
     def temperature(self) -> float:
         return self.kinetic_energy() / self.n_global / KB_EV / 1.5
 
     def max_occupancy(self) -> int:
-        return int(jnp.max(self.state.n_atoms[..., :self.geom.n_local]))
+        return int(self._reductions()[2](self.state.n_atoms))
+
+    def occupancy_histogram(self):
+        """[capacity+1] global cell-occupancy histogram (collective)."""
+        rep = NamedSharding(self.mesh, P())
+        nl, cap = self.geom.n_local, self.cfg.max_atoms
+
+        @functools.partial(jax.jit, out_shardings=rep)
+        def hist(n_atoms):
+            n = n_atoms[..., :nl].reshape(-1)
+            return jnp.sum(
+                (n[:, None] == jnp.arange(cap + 1)[None, :]).astype(
+                    jnp.int32), axis=0)
+
+        import numpy as np
+        return np.asarray(hist(self.state.n_atoms))
+
+
+def _block_shape(geom, cfg: Config, field: str):
+    B, A = geom.n_total, cfg.max_atoms
+    return {"r": (3, B, A), "p": (3, B, A), "f": (3, B, A),
+            "gid": (B, A), "n_atoms": (B,)}[field]
+
+
+def _gen_shard_atoms(cfg: Config, lat: float, global_extent, local_extent,
+                     coord):
+    """Generate (r global-frame, gid) for ONE shard brick, reproducing the
+    single-controller partition exactly: assignment by displaced position
+    with floor + edge-clip semantics.  Undisplaced sites within
+    initial_delta of the brick are generated too (they may displace in);
+    edge shards keep atoms displaced past the global boundary (the clip).
+
+    This is the per-rank analog of createFccLattice's local-window
+    generation (initAtoms.c:81-124): no process ever materializes the
+    global atom set."""
+    pgrid = np.array([cfg.xproc, cfg.yproc, cfg.zproc])
+    coord = np.asarray(coord)
+    delta = cfg.initial_delta
+    lmin = coord * local_extent
+    lmax = lmin + local_extent
+    gmin = np.maximum(lmin - (delta + 1e-9), 0.0)
+    gmax = np.minimum(lmax + (delta + 1e-9), global_extent)
+    r, gid = lattice.create_fcc_lattice(cfg.nx, cfg.ny, cfg.nz, lat,
+                                        gmin, gmax)
+    r = lattice.random_displacements(r, gid, delta)
+    lo = np.where(coord == 0, -np.inf, lmin)
+    hi = np.where(coord == pgrid - 1, np.inf, lmax)
+    keep = np.all((r >= lo) & (r < hi), axis=1)
+    return r[keep], gid[keep]
+
+
+def _owned_coords(mesh: Mesh):
+    """Mesh coordinates of the shards whose device belongs to this process
+    (every coordinate in single-process runs)."""
+    pidx = jax.process_index()
+    return [tuple(int(c) for c in idx)
+            for idx in np.ndindex(*mesh.devices.shape)
+            if mesh.devices[idx].process_index == pidx]
 
 
 def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
-    """Sharded initSimulation: decompose, generate, distribute."""
+    """Sharded initSimulation: decompose, generate per shard, assemble.
+
+    Multi-host capable (the reference's N-rank MPI launch, parallel.c:66-118,
+    run via jax.distributed): each process generates and bins ONLY the
+    shards its devices own; the global state arrays are assembled with
+    jax.make_array_from_callback, so host memory stays O(local atoms).
+    Cross-process agreement on the cell plan uses a (max, min) reduce over
+    per-process occupancy stats; the temperature init reproduces the global
+    momentum sums bit-for-bit from the gid-seeded RNG streams alone
+    (lattice.temperature_params)."""
     cfg = cfg.resolve()
     pot = init_potential(cfg)
 
@@ -547,52 +652,78 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
     global_extent = np.array([cfg.nx, cfg.ny, cfg.nz], np.float64) * lat
     pgrid = np.array([cfg.xproc, cfg.yproc, cfg.zproc])
     local_extent = global_extent / pgrid
-
-    # host-side scene generation in the global frame (reference-exact)
-    r, gid = lattice.create_fcc_lattice(
-        cfg.nx, cfg.ny, cfg.nz, lat, np.zeros(3), global_extent)
     n_global = 4 * cfg.nx * cfg.ny * cfg.nz
-    p = lattice.set_temperature(gid, pot.mass, cfg.temperature, n_global)
-    r = lattice.random_displacements(r, gid, cfg.initial_delta)
+
+    mesh = make_mesh(cfg.xproc, cfg.yproc, cfg.zproc, devices)
+    my_coords = _owned_coords(mesh)
+
+    # generate this process's shard bricks (positions first: the cell plan
+    # needs the t=0 occupancy)
+    shard_atoms = {
+        c: _gen_shard_atoms(cfg, lat, global_extent, local_extent, c)
+        for c in my_coords}
+    r_local = (np.concatenate([a[0] for a in shard_atoms.values()])
+               if shard_atoms else np.zeros((0, 3)))
+
+    stat_reduce = None
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def stat_reduce(stats):
+            allv = np.asarray(multihost_utils.process_allgather(
+                np.asarray(stats, np.float64)))
+            return int(allv[:, 0].max()), float(allv[:, 1].min())
 
     # per-shard geometry in the shard-local frame [0, local_extent); the
     # lazy-shell path folds the skin into the cell size (cells sized to
     # cutoff alone would let atoms drift out of the 27-neighborhood between
     # skin/2-triggered rebuilds)
     cfg, geom, cplan = plan_geometry(
-        cfg, pot, lat, r, (cfg.nx, cfg.ny, cfg.nz),
-        (cfg.xproc, cfg.yproc, cfg.zproc), np.zeros(3), local_extent)
+        cfg, pot, lat, r_local, (cfg.nx, cfg.ny, cfg.nz),
+        (cfg.xproc, cfg.yproc, cfg.zproc), np.zeros(3), local_extent,
+        n_atoms_total=n_global, stat_reduce=stat_reduce)
     plan = exchange.make_plan(geom)
-    mesh = make_mesh(cfg.xproc, cfg.yproc, cfg.zproc, devices)
 
-    # partition atoms to shards; convert to shard-local frames
-    shard_idx = np.minimum(
-        (r / local_extent).astype(np.int64), pgrid - 1)
-    blocks = []
-    for ix in range(cfg.xproc):
-        for iy in range(cfg.yproc):
-            for iz in range(cfg.zproc):
-                sel = np.all(shard_idx == [ix, iy, iz], axis=1)
-                r_loc = r[sel] - np.array([ix, iy, iz]) * local_extent
-                blocks.append(bin_atoms_host(
-                    geom, cfg, r_loc, p[sel], gid[sel]))
-
-    def stack(field):
-        vals = [getattr(b, field) for b in blocks]
-        arr = jnp.stack(vals).reshape(
-            (cfg.xproc, cfg.yproc, cfg.zproc) + vals[0].shape)
-        return arr
+    # momenta: global (vcm, scale) from the gid-seeded streams, applied to
+    # the local subsets (bitwise equal to the serial setTemperature)
+    vcm, scale = lattice.temperature_params(pot.mass, cfg.temperature,
+                                            n_global)
+    blocks = {}
+    for c, (r_s, gid_s) in shard_atoms.items():
+        p_s = lattice.apply_temperature(gid_s, pot.mass, cfg.temperature,
+                                        vcm, scale)
+        blocks[c] = bin_atoms_host_np(
+            geom, cfg, r_s - np.asarray(c) * local_extent, p_s, gid_s)
 
     spec = P("x", "y", "z")
+    shard = NamedSharding(mesh, spec)
+    rep = NamedSharding(mesh, P())
+    pg = tuple(int(v) for v in pgrid)
+
+    def mk(field):
+        blk0 = next(iter(blocks.values()))[field] if blocks else None
+        # every process knows the block shape even if it owns no shard
+        shape_probe = blk0.shape if blk0 is not None else _block_shape(
+            geom, cfg, field)
+        gshape = pg + tuple(shape_probe)
+
+        def cb(index):
+            coord = tuple((s.start or 0) for s in index[:3])
+            return blocks[coord][field][None, None, None]
+
+        return jax.make_array_from_callback(gshape, shard, cb)
+
+    def mk_rep(value, dtype):
+        v = np.asarray(value, dtype)
+        return jax.make_array_from_callback(
+            v.shape, rep, lambda idx: v[idx])
+
     state = SimState(
-        r=jax.device_put(stack("r"), NamedSharding(mesh, spec)),
-        p=jax.device_put(stack("p"), NamedSharding(mesh, spec)),
-        f=jax.device_put(stack("f"), NamedSharding(mesh, spec)),
-        gid=jax.device_put(stack("gid"), NamedSharding(mesh, spec)),
-        n_atoms=jax.device_put(stack("n_atoms"), NamedSharding(mesh, spec)),
-        e_potential=jnp.zeros((), cfg.jax_energy_dtype),
-        n_local=jnp.asarray(n_global, jnp.int32),
-        overflow=jnp.zeros((), jnp.bool_),
+        r=mk("r"), p=mk("p"), f=mk("f"), gid=mk("gid"),
+        n_atoms=mk("n_atoms"),
+        e_potential=mk_rep(0.0, cfg.energy_dtype),
+        n_local=mk_rep(n_global, np.int32),
+        overflow=mk_rep(False, np.bool_),
     )
 
     sim = ShardedSimulation(

@@ -10,7 +10,12 @@ its own documented cohesive-energy golden -1.243619295058 (CoMD.c:896) and
 its MAXATOMS=64 cell capacity both correspond to the upstream CoMD 1.1 value
 2.5*sigma (a 5*sigma cell holds ~131 FCC Cu atoms, overflowing MAXATOMS; the
 fork's run matrix only exercises EAM).  We default to the golden-consistent
-2.5*sigma and expose the factor as a parameter.
+2.5*sigma; the fork's configuration is available as --ljCutoffFactor 5
+(Config.lj_cutoff_factor), where the auto capacity sizing (cells.plan_cells)
+absorbs the ~176-atom commensurate cells.  The 5-sigma T=0 cohesive energy
+is -1.406590686466 eV/atom (computed with this code's f64 path, identical
+at 8^3 and 10^3 lattices; the reference publishes no golden for its
+5-sigma configuration).
 """
 from __future__ import annotations
 
@@ -57,5 +62,8 @@ class LjPotential:
         ]
 
 
-def init_lj_pot() -> LjPotential:
-    return LjPotential()
+def init_lj_pot(cutoff_factor: float = 2.5) -> LjPotential:
+    """``cutoff_factor``: cutoff in units of sigma.  2.5 (default) matches
+    the upstream CoMD golden; 5.0 is the reference fork's ljForce.c:114."""
+    sigma = LjPotential.sigma
+    return LjPotential(cutoff=cutoff_factor * sigma)

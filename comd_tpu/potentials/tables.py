@@ -496,6 +496,13 @@ def make_cheb_fused(tabs: dict, r_lo: float, r_hi: float,
             return fused
         if best is None or worst < best[0]:
             best = (worst, fused)
+    import warnings
+    warnings.warn(
+        f"Chebyshev fit did not reach the requested tolerance for this "
+        f"table (worst error {best[0]:.3g}x the tol_f/tol_df target); "
+        f"returning the most accurate candidate.  Consider "
+        f"interp_impl='twolevel' (reference-interpolant-exact) for this "
+        f"potential file.", stacklevel=2)
     return best[1]
 
 

@@ -112,7 +112,8 @@ class Simulation:
         dynamics-only variant (identical forces, no energy terms) used for
         the steps between reporting boundaries -- the reporting cost then
         amortizes over printRate like the reference's printThings cadence.
-        Paths without the skip (pallas, -I) just always return energy."""
+        Only the -I table-interpolated LJ path lacks the skip and always
+        computes energy; the pallas paths honor want_energy."""
         cfg, geom, pot = self.cfg, self.geom, self.pot
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
@@ -195,17 +196,20 @@ class Simulation:
 
         def step(state: SimState, _):
             # velocity half kick with forces from the previous step
-            p = half_kick(state.p, state.f)
-            # drift
-            r = state.r + r_dt(p)
+            with jax.named_scope("velocity"):
+                p = half_kick(state.p, state.f)
+            with jax.named_scope("position"):
+                r = state.r + r_dt(p)
             # redistribute: canonical (cell,gid) rebucket + PBC wrap
-            r_l, p_l, gid, n_atoms, _nmig, ovf = binning.rebucket(
-                geom, r, p, state.gid, state.n_atoms, wrap_extent=extent)
-            # halo fill (serial periodic images)
-            r_full, gid, n_atoms = binning.fill_halo_serial(
-                geom, r_l, gid, n_atoms)
+            with jax.named_scope("redistribute"):
+                r_l, p_l, gid, n_atoms, _nmig, ovf = binning.rebucket(
+                    geom, r, p, state.gid, state.n_atoms, wrap_extent=extent)
+                # halo fill (serial periodic images)
+                r_full, gid, n_atoms = binning.fill_halo_serial(
+                    geom, r_l, gid, n_atoms)
             # forces
-            f_loc, _u, e_pot = force(r_full, n_atoms)
+            with jax.named_scope("force"):
+                f_loc, _u, e_pot = force(r_full, n_atoms)
             if e_pot is None:
                 e_pot = state.e_potential
             f = jnp.zeros_like(state.f).at[:, :n_local_boxes].set(
@@ -354,12 +358,17 @@ class Simulation:
 
         def step(c: LazySimState, _):
             s = c.sim
-            p = s.p + s.p.dtype.type(0.5 * dt) * s.f
-            r = s.r + p * p.dtype.type(dt * inv_mass)
-            dirty = nlmod.needs_rebuild(c.last_r, r, n_local_boxes, skin)
-            r, p, gid, n_atoms, last_r, ovf = jax.lax.cond(
-                dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, c.last_r))
-            f_loc, _u, e_pot = force(r, n_atoms)
+            with jax.named_scope("velocity"):
+                p = s.p + s.p.dtype.type(0.5 * dt) * s.f
+            with jax.named_scope("position"):
+                r = s.r + p * p.dtype.type(dt * inv_mass)
+            with jax.named_scope("redistribute"):
+                dirty = nlmod.needs_rebuild(c.last_r, r, n_local_boxes, skin)
+                r, p, gid, n_atoms, last_r, ovf = jax.lax.cond(
+                    dirty, rebuild, refresh,
+                    (r, p, s.gid, s.n_atoms, c.last_r))
+            with jax.named_scope("force"):
+                f_loc, _u, e_pot = force(r, n_atoms)
             if e_pot is None:
                 e_pot = s.e_potential
             f = jnp.zeros_like(s.f).at[:, :n_local_boxes].set(
@@ -464,11 +473,15 @@ class Simulation:
     def max_occupancy(self) -> int:
         return int(jnp.max(self.state.n_atoms[:self.geom.n_local]))
 
+    def occupancy_histogram(self) -> np.ndarray:
+        counts = np.asarray(self.state.n_atoms)[:self.geom.n_local]
+        return np.bincount(counts, minlength=self.cfg.max_atoms + 1)
+
 
 def init_potential(cfg: Config):
     if cfg.doeam:
         return init_eam_pot(cfg.pot_dir, cfg.pot_name, cfg.pot_type)
-    return init_lj_pot()
+    return init_lj_pot(cfg.lj_cutoff_factor)
 
 
 def init_simulation(cfg: Config):
@@ -511,7 +524,8 @@ def init_simulation(cfg: Config):
 
 
 def plan_geometry(cfg: Config, pot, lat: float, r_global: np.ndarray,
-                  n_cells, proc_grid, local_min, local_max):
+                  n_cells, proc_grid, local_min, local_max,
+                  n_atoms_total=None, stat_reduce=None):
     """Resolve cell sizing + capacity (cells.plan_cells) and build the local
     CellGeometry.  Returns (cfg', geom, plan) with cfg' carrying the
     *resolved* max_atoms and cell_mode so downstream consumers (checkpoint
@@ -530,7 +544,8 @@ def plan_geometry(cfg: Config, pot, lat: float, r_global: np.ndarray,
         cutoff=pot.cutoff, lat=lat, n_cells=n_cells, proc_grid=proc_grid,
         r_global=r_global, skin_req=skin_req, lazy=lazy,
         mode="classic" if uses_nl else cfg.cell_mode,
-        max_atoms=cfg.max_atoms, trigger_from_cell=not uses_nl)
+        max_atoms=cfg.max_atoms, trigger_from_cell=not uses_nl,
+        n_atoms_total=n_atoms_total, stat_reduce=stat_reduce)
     cfg = dataclasses.replace(cfg, max_atoms=plan.max_atoms,
                               cell_mode=plan.mode)
     geom = cells.make_geometry(
@@ -540,9 +555,13 @@ def plan_geometry(cfg: Config, pot, lat: float, r_global: np.ndarray,
     return cfg, geom, plan
 
 
-def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,
-                   r: np.ndarray, p: np.ndarray, gid: np.ndarray) -> SimState:
-    """Host binning of generated atoms into the dense cell layout."""
+def bin_atoms_host_np(geom: cells.CellGeometry, cfg: Config,
+                      r: np.ndarray, p: np.ndarray,
+                      gid: np.ndarray) -> dict:
+    """Host binning of generated atoms into the dense cell layout.
+
+    Returns a dict of NUMPY arrays (one shard's block) so multi-host init
+    can feed jax.make_array_from_callback without device round-trips."""
     A = cfg.max_atoms
     B = geom.n_total
     dtype = np.dtype(cfg.dtype)
@@ -569,13 +588,26 @@ def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,
         p_arr[a, dest] = p[order, a]
     gid_arr[dest] = gid[order]
 
+    return dict(
+        r=r_arr.reshape(3, B, A),
+        p=p_arr.reshape(3, B, A),
+        f=np.zeros((3, B, A), dtype=dtype),
+        gid=gid_arr.reshape(B, A),
+        n_atoms=counts,
+    )
+
+
+def bin_atoms_host(geom: cells.CellGeometry, cfg: Config,
+                   r: np.ndarray, p: np.ndarray, gid: np.ndarray) -> SimState:
+    """Host binning of generated atoms into a device SimState (serial)."""
+    d = bin_atoms_host_np(geom, cfg, r, p, gid)
     e_dtype = np.dtype(cfg.energy_dtype)
     return SimState(
-        r=jnp.asarray(r_arr.reshape(3, B, A)),
-        p=jnp.asarray(p_arr.reshape(3, B, A)),
-        f=jnp.zeros((3, B, A), dtype=dtype),
-        gid=jnp.asarray(gid_arr.reshape(B, A)),
-        n_atoms=jnp.asarray(counts),
+        r=jnp.asarray(d["r"]),
+        p=jnp.asarray(d["p"]),
+        f=jnp.asarray(d["f"]),
+        gid=jnp.asarray(d["gid"]),
+        n_atoms=jnp.asarray(d["n_atoms"]),
         e_potential=jnp.zeros((), dtype=e_dtype),
         n_local=jnp.asarray(len(gid), jnp.int32),
         overflow=jnp.zeros((), jnp.bool_),

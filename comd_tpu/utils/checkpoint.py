@@ -25,18 +25,24 @@ _FIELDS = ("r", "p", "f", "gid", "n_atoms", "e_potential", "n_local",
            "overflow")
 
 
-def _state_dict(sim) -> dict:
-    d = {f: np.asarray(getattr(sim.state, f)) for f in _FIELDS}
+def _state_dict(sim, as_numpy: bool = True) -> dict:
+    conv = np.asarray if as_numpy else (lambda x: x)
+    d = {f: conv(getattr(sim.state, f)) for f in _FIELDS}
     last_r = getattr(sim, "last_r", None)
     if last_r is not None:
-        d["last_r"] = np.asarray(last_r)
+        d["last_r"] = conv(last_r)
     return d
 
 
 def save(path: str, sim, step: int) -> str:
-    """Save a Simulation/ShardedSimulation state.  Returns the path."""
-    os.makedirs(path, exist_ok=True)
-    arrays = _state_dict(sim)
+    """Save a Simulation/ShardedSimulation state.  Returns the path.
+
+    Multi-process: a collective orbax save of the global arrays (every
+    process calls with the same path); process 0 writes the metadata."""
+    multi = jax.process_count() > 1
+    if not multi or jax.process_index() == 0:
+        os.makedirs(path, exist_ok=True)
+    arrays = _state_dict(sim, as_numpy=not multi)
     meta = {
         "step": step,
         "config": dataclasses.asdict(sim.cfg),
@@ -44,6 +50,23 @@ def save(path: str, sim, step: int) -> str:
         "has_last_r": "last_r" in arrays,
         "format": "npz",
     }
+    if multi:
+        # metadata first (process 0), THEN the collective orbax save, THEN
+        # a global barrier: when save() returns on ANY process, the whole
+        # checkpoint (metadata included) is on disk -- a load immediately
+        # after is race-free on every rank
+        import orbax.checkpoint as ocp
+        from jax.experimental import multihost_utils
+        meta["format"] = "orbax"
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "meta.json"), "w") as fh:
+                json.dump(meta, fh, indent=1)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(os.path.abspath(path), "state"), arrays,
+                   force=True)
+        ckptr.wait_until_finished()
+        multihost_utils.sync_global_devices("comd_ckpt_save")
+        return path
     try:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
@@ -71,21 +94,31 @@ def load(path: str):
     # overwrite the dynamical state
     sim = init_simulation(cfg)
 
+    multi = jax.process_count() > 1
     if meta["format"] == "orbax":
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        tpl = _state_dict(sim)
+        # template arrays carry the target shardings; under multi-process
+        # the restore is collective and lands shards on their owners
+        tpl = _state_dict(sim, as_numpy=not multi)
         if meta.get("has_last_r") and "last_r" not in tpl:
             tpl["last_r"] = tpl["r"]
         data = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
                              tpl)
     else:
+        if multi:
+            raise RuntimeError(
+                "multi-process restore requires an orbax checkpoint")
         with np.load(os.path.join(path, "state.npz")) as z:
             data = {k: z[k] for k in z.files}
 
     last_r = data.pop("last_r", None)
     mesh = getattr(sim, "mesh", None)
-    if mesh is not None:
+    if multi:
+        sim.state = SimState(**data)
+        if last_r is not None:
+            sim.last_r = last_r
+    elif mesh is not None:
         # sharded restore: re-apply the mesh sharding the step functions
         # expect (leading [Px,Py,Pz] block dims over ('x','y','z'))
         from jax.sharding import NamedSharding, PartitionSpec as P

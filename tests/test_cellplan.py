@@ -32,8 +32,9 @@ def plan(n, cutoff, *, procs=(1, 1, 1), skin_rel=0.1, mode="auto",
 
 class TestPlanChoices:
     def test_eam_k3_uniform_occupancy(self):
-        # 2n/1 = 24 divisible by 3: cell = 1.5*lat, occupancy 13/14, A=16
-        p = plan(12, 4.95)
+        # nx=9: 2n=18, k=4 infeasible -> k=3: cell = 1.5*lat, occupancy
+        # uniformly 13/14, A=16
+        p = plan(9, 4.95)
         assert p.mode == "commensurate"
         np.testing.assert_allclose(p.cell_size, 1.5 * LAT)
         assert p.t0_max_occ == 14
@@ -41,6 +42,15 @@ class TestPlanChoices:
         # site planes sit 0.25*lat from every cell face
         assert p.boundary_margin == pytest.approx(0.25 * LAT, abs=1e-9)
         assert p.skin == pytest.approx(1.5 * LAT - 4.95)
+
+    def test_eam_exact_pack_beats_k3(self):
+        # nx=12 admits both k=3 and k=4; the v5e-calibrated cost model
+        # picks the k=4 exact pack (cell = 2 whole unit cells, occupancy
+        # exactly 32 = capacity; measured 42 vs 55 ns/atom on v5e)
+        p = plan(12, 4.95)
+        assert p.mode == "commensurate"
+        np.testing.assert_allclose(p.cell_size, 2.0 * LAT)
+        assert p.t0_max_occ == 32 and p.max_atoms == 32
 
     def test_eam_k4_exact_pack(self):
         # 2n = 40 not divisible by 3 -> k=4: cell = 2*lat, exactly 32/cell
@@ -71,10 +81,10 @@ class TestPlanChoices:
         assert p.max_atoms == 48
 
     def test_sharded_divisibility(self):
-        # 2*12/2 = 12 per shard, k=3 still divides
+        # 2*12/2 = 12 per shard: k in {3,4,6} all divide; exact-pack k=4
         p = plan(12, 4.95, procs=(2, 2, 2))
         assert p.mode == "commensurate"
-        np.testing.assert_allclose(p.cell_size, 1.5 * LAT)
+        np.testing.assert_allclose(p.cell_size, 2.0 * LAT)
 
     def test_commensurate_infeasible_raises(self):
         # procs=7 does not divide 2*12=24

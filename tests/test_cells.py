@@ -92,3 +92,44 @@ def test_hilbert_geometry_roundtrip():
     t = g.tuple_of_box
     ids = g.box_from_tuple(t[:, 0], t[:, 1], t[:, 2])
     assert np.array_equal(ids, np.arange(g.n_total))
+
+
+def test_hilbert_matches_reference_curve():
+    """Cross-check the vectorized Hilbert code against a scalar oracle that
+    follows the reference algorithm (computeHilbertCode, linkCells.c:28-63:
+    nbits=10, transform table {0,1,7,6,3,2,4,5}, per-bit swap/complement
+    state transforms -- the public-domain curve the reference cites)."""
+    def oracle(x, y, z):
+        transform = [0, 1, 7, 6, 3, 2, 4, 5]
+        s = 0
+        for i in range(9, -1, -1):
+            xi, yi, zi = (x >> i) & 1, (y >> i) & 1, (z >> i) & 1
+            index = (xi << 2) + (yi << 1) + zi
+            s = (s << 3) + transform[index]
+            if index == 0:
+                y, z = z, y
+            elif index in (1, 5):
+                x, y = y, x
+            elif index == 2:
+                y, z = ~z, ~y
+            elif index in (3, 7):
+                x, y = ~y, ~x
+            elif index in (4, 6):
+                x, z = ~x, ~z
+        return s
+
+    rng = np.random.RandomState(42)
+    xs = rng.randint(0, 1024, 200)
+    ys = rng.randint(0, 1024, 200)
+    zs = rng.randint(0, 1024, 200)
+    got = cells.compute_hilbert_code(xs, ys, zs)
+    want = np.array([oracle(int(x), int(y), int(z))
+                     for x, y, z in zip(xs, ys, zs)])
+    np.testing.assert_array_equal(got, want)
+    # plus the exhaustive small grid: curve values, not just bijectivity
+    X, Y, Z = np.meshgrid(np.arange(4), np.arange(4), np.arange(4),
+                          indexing="ij")
+    got = cells.compute_hilbert_code(X.ravel(), Y.ravel(), Z.ravel())
+    want = np.array([oracle(int(x), int(y), int(z))
+                     for x, y, z in zip(X.ravel(), Y.ravel(), Z.ravel())])
+    np.testing.assert_array_equal(got, want)

@@ -64,3 +64,19 @@ def test_hilbert_ordering_same_energy():
     """
     cfg = base_cfg(doeam=True, do_hilbert=True)
     assert cohesive(cfg) == pytest.approx(GOLDEN_EAM_ADAMS, abs=1e-9)
+
+
+def test_lj_5sigma_reference_config():
+    """--ljCutoffFactor 5 runs the reference fork's actual LJ configuration
+    (ljForce.c:114).  No upstream golden exists for it; the value below is
+    this code's own f64 result, size-converged (identical at 8^3 and 10^3),
+    pinned to catch regressions.  Auto capacity sizing absorbs the large
+    5-sigma cells (~256-atom commensurate supercells)."""
+    from comd_tpu.config import Config
+    from comd_tpu.sim import init_simulation
+    cfg = Config(nx=8, ny=8, nz=8, n_steps=0, temperature=0.0,
+                 dtype="float64", lj_cutoff_factor=5.0)
+    s = init_simulation(cfg)
+    assert s.pot.cutoff == 5.0 * 2.315
+    assert s.e_potential / s.n_global == pytest.approx(
+        -1.406590686466, abs=1e-9)

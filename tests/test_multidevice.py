@@ -115,25 +115,23 @@ def test_async_lazy_exact_across_migrations():
     assert async_.e_potential == pytest.approx(sync.e_potential, abs=1e-9)
 
 
-def test_async_eager_migration_hazard_bounded():
-    """The EAGER (-a 1, lazy_shell=False) path exchanges atoms every step
-    and lets interior sweeps read pre-exchange positions, so a migrant's
-    first step can be invisible to ring-2 interior cells -- a one-step,
-    cutoff-tail-sized force asymmetry (documented; the overlap exists to
-    hide exactly this exchange).  Verify the deviation from sync stays at
-    fp-noise-to-tail scale over a migration-rich window."""
+def test_async_eager_exact_across_migrations():
+    """The EAGER (-a 1, lazy_shell=False) path exchanges atoms every step.
+    On steps where any atom migrated ranks, interior sweeps are handed
+    post-exchange positions (reference semantics: interior kernels run on
+    post-redistribution cells, timestep.c:257-276), giving up the overlap
+    for that step only -- so the async path is EXACT, not merely bounded,
+    over a migration-rich window."""
     kw = dict(doeam=True, xproc=2, yproc=1, zproc=1, lazy_shell=False)
     sync = init_simulation(base_cfg(**kw))
     async_ = init_simulation(base_cfg(gpu_async=1, **kw))
     sync.step_block(60)
     async_.step_block(60)
     assert async_.sum_atoms() == sync.n_global
-    # tolerance-based: the trajectories may diverge at the migration-event
-    # scale but conserved quantities must stay physical
-    assert async_.e_potential == pytest.approx(sync.e_potential, rel=1e-5)
+    assert async_.e_potential == pytest.approx(sync.e_potential, abs=1e-9)
     e_sync = sync.e_potential + sync.kinetic_energy()
     e_async = async_.e_potential + async_.kinetic_energy()
-    assert e_async == pytest.approx(e_sync, rel=1e-5)
+    assert e_async == pytest.approx(e_sync, abs=1e-9)
 
 
 def test_energy_conservation_sharded():

@@ -75,10 +75,19 @@ def main():
         log(f"short({short}x{block})={ts:7.3f}s long({long}x{block})="
             f"{tl:7.3f}s -> {per_step*1e3:8.2f} ms/step "
             f"({sim.n_global/max(per_step,1e-12):.3e} atom-steps/s)")
-    best = min(samples)
+    # relay stalls can corrupt a sample (even negative marginals when the
+    # short block absorbs a stall); keep positive samples only
+    good = [s for s in samples if s > 0]
+    best = min(good) if good else float("nan")
     log(f"BEST {best*1e3:.2f} ms/step = "
         f"{sim.n_global/best:.3e} atom-steps/s  "
         f"ePot/atom={sim.e_potential/sim.n_global:.6f}")
+    import numpy as np
+    na = np.asarray(sim.state.n_atoms)[..., :sim.geom.n_local]
+    log(f"final occupancy max={na.max()} mean={na.mean():.2f} "
+        f"capacity={sim.cfg.max_atoms} "
+        f"overflow={bool(np.any(np.asarray(sim.state.overflow)))} "
+        f"atoms={sim.sum_atoms()}")
 
 
 if __name__ == "__main__":
