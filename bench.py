@@ -46,13 +46,18 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
     from comd_tpu.sim import init_simulation
 
     pots = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pots")
+    # max_atoms=0 + cell_mode auto: lattice-commensurate cells with
+    # auto-sized capacity (round 3; for the 64^3 EAM headline this picks
+    # cell = 2 unit cells, occupancy exactly 32 = capacity, no slot slack)
     cfg = Config(nx=n_cells, ny=n_cells, nz=n_cells, doeam=doeam,
-                 temperature=600.0, dtype=dtype, max_atoms=32,
+                 temperature=600.0, dtype=dtype, max_atoms=0,
+                 cell_mode=os.environ.get("BENCH_CELLMODE", "auto"),
                  box_chunk=chunk, pot_dir=pots)
     t0 = time.time()
     sim = init_simulation(cfg)
     log(f"[bench] init {n_cells}^3 {'EAM' if doeam else 'LJ'} "
-        f"atoms={sim.n_global} in {time.time()-t0:.1f}s")
+        f"atoms={sim.n_global} cells={sim.cfg.cell_mode} "
+        f"A={sim.cfg.max_atoms} in {time.time()-t0:.1f}s")
 
     # `short`/`long` count printRate-sized blocks of `block` steps, so the
     # energy-reporting step (once per block, the printRate cadence) is

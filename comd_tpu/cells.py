@@ -375,12 +375,24 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
 
     n_total = n_atoms_total if n_atoms_total is not None else len(r_global)
     best = None
+    scored = []
     for cand_mode, cell in candidates:
         t0_max, margin = _occupancy_stats(r_global, cell, extent)
         if stat_reduce is not None:
             t0_max, margin = stat_reduce((t0_max, margin))
         grid = np.maximum(np.round(extent / cell).astype(np.int64), 1)
         mean_occ = float(n_total / np.prod(grid))
+        scored.append((cand_mode, cell, t0_max, margin, mean_occ))
+    if max_atoms > 0:
+        # an explicit capacity rules out sizings it cannot hold
+        legal = [s for s in scored if s[2] <= max_atoms]
+        if not legal:
+            tmin = min(s[2] for s in scored)
+            raise ValueError(
+                f"explicit max_atoms={max_atoms} below the minimum t=0 "
+                f"occupancy {tmin} of every feasible cell sizing")
+        scored = legal
+    for cand_mode, cell, t0_max, margin, mean_occ in scored:
         a_cap = max_atoms if max_atoms > 0 else _round8(t0_max)
         cost = _slot_cost(a_cap, mean_occ)
         plan = CellPlan(

@@ -96,10 +96,15 @@ class Config:
                                 # (reference-interpolant-exact to <=1 ulp;
                                 # "rows" is the bit-exact oracle, ~100x
                                 # slower on TPU, request it explicitly)
-    comm_impl: str = "collective"  # dfEmbed halo transport: "collective"
-                                   # (lax.ppermute; XLA owns scheduling) or
-                                   # "ki" (Pallas make_async_remote_copy --
-                                   # the kernel-initiated comm_ki analog)
+    comm_impl: str = "collective"  # halo transport: "collective"
+                                   # (lax.ppermute; XLA owns scheduling),
+                                   # "ki" (Pallas make_async_remote_copy
+                                   # for BOTH the dfEmbed and the atom
+                                   # exchange -- the kernel-initiated
+                                   # comm_ki analog), or "ki_fused" (ki +
+                                   # the x-stage dfEmbed push fused into
+                                   # the in-kernel embedding-derivative
+                                   # evaluation, comm_ki.cuh:187-310)
     half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo

@@ -258,7 +258,8 @@ def eam_force(
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
 
     # ---- halo exchange of dfEmbed (eam.c:241, 368-371) ----
-    df_embed = fill_halo_scalar(df_embed)
+    df_embed = fill_halo_scalar(
+        df_embed, rhobar_l=rhobar_l.astype(dtype))
 
     # ---- pass 3: embedding force (eam.c:374-413) ----
     pair3 = make_pair3(eval_rho)
@@ -308,7 +309,8 @@ def eam_force_half(
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
-    df_embed = fill_halo_scalar(df_embed)
+    df_embed = fill_halo_scalar(
+        df_embed, rhobar_l=rhobar_l.astype(dtype))
 
     f3d, _ = cell_pair_sweep_half(
         geom, r, make_pair3(eval_rho), rcut2, chunk=chunk,
@@ -364,7 +366,8 @@ def eam_force_pallas(
 
     df_embed = jnp.zeros((B, A), dtype=dtype)
     df_embed = df_embed.at[:geom.n_local].set(df_emb_l.astype(dtype))
-    df_embed = fill_halo_scalar(df_embed)
+    df_embed = fill_halo_scalar(
+        df_embed, rhobar_l=rhobar_l.astype(dtype))
 
     f3 = eam_pass3_stencil(geom, pot, r, df_embed, chunk=chunk,
                            interpret=interpret, half=half)
@@ -415,6 +418,8 @@ def eam_force_nl(
 
     df_embed = nlmod.scatter_rows(
         nlist, jnp.where(nlist.a_valid, df_rows, 0.0).astype(dtype), B, A)
+    # NL rows carry rhobar per row, not per cell slot; the fused ki push
+    # needs the cell layout, so the NL path uses the unfused transports
     df_embed = fill_halo_scalar(df_embed)
 
     f3, _ = nlmod.pair_sweep_nl(
@@ -501,7 +506,9 @@ def eam_force_split(
     # neighborhoods only read local dfEmbed); boundary waits for it
     f3_i, _ = cell_pair_sweep(geom, r_pre, pair3, rcut2, chunk=chunk,
                               boxes=interior, scalar_j=[df_local])
-    df_full = fill_halo_scalar(df_local)
+    rho_cells = _scatter_lists(geom.n_local, interior, boundary,
+                               rho_i.astype(dtype), rho_b.astype(dtype))
+    df_full = fill_halo_scalar(df_local, rhobar_l=rho_cells)
     f3_b, _ = cell_pair_sweep(geom, r, pair3, rcut2, chunk=chunk,
                               boxes=boundary, scalar_j=[df_full])
 

@@ -227,8 +227,11 @@ def fold_halo(plan: ExchangePlan, geom: CellGeometry, x):
 
 
 @_scope("exchange_scalar:eamHalo")
-def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x):
+def exchange_scalar(plan: ExchangePlan, geom: CellGeometry, x,
+                    rhobar_l=None):
     """Staged halo exchange of a per-atom scalar field (EAM dfEmbed).
+    (``rhobar_l`` accepted for fill-contract compatibility; only the fused
+    kernel-initiated transport uses it.)
 
     Slot-aligned cell-block copies; growing cross-section forwards edge and
     corner values (eam.c:59-72, haloExchange.c:345-475).

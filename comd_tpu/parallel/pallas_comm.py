@@ -95,12 +95,14 @@ def _ring_push(x_plane, axis_name, direction, *, interpret, collective_id,
 
 
 def exchange_scalar_ki(plan: ExchangePlan, geom: CellGeometry, x,
-                       *, interpret: bool | None = None):
+                       rhobar_l=None, *, interpret: bool | None = None):
     """dfEmbed halo exchange via kernel-initiated RDMA (comm_ki analog).
 
     Drop-in for exchange.exchange_scalar: same 3-stage growing-cross-
     section schedule (x -> y -> z; haloExchange.c:345-475), each plane
     shipped by a Pallas remote copy instead of lax.ppermute.
+    (``rhobar_l`` accepted for fill-contract compatibility; unused here --
+    see exchange_scalar_ki_fused.)
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -117,6 +119,201 @@ def exchange_scalar_ki(plan: ExchangePlan, geom: CellGeometry, x,
                                    collective_id=7 + 2 * axis)
         got_from_minus = _ring_push(x[send_p], name, +1,
                                     interpret=interpret,
+                                    collective_id=8 + 2 * axis)
+        x = x.at[recv_p].set(got_from_plus)
+        x = x.at[recv_m].set(got_from_minus)
+    return x
+
+
+def _pack_ints(v, dtype):
+    """Ship int32 payloads through a float-typed RDMA buffer, exactly.
+
+    f32 buffers: bitcast (same width).  f64 buffers: numeric cast (every
+    int32, including EMPTY_GID = 2^31-1, is exact in f64)."""
+    if dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(v, jnp.float32)
+    return v.astype(dtype)
+
+
+def _unpack_ints(v, dtype):
+    if dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jnp.round(v).astype(jnp.int32)
+
+
+def exchange_atoms_ki(plan: ExchangePlan, geom: CellGeometry,
+                      r, p, gid, n_atoms, *,
+                      interpret: bool | None = None):
+    """3-stage staged ATOM exchange via kernel-initiated RDMA.
+
+    The reference's exchangeData_Atoms_KI (comm_ki.cuh:437-496): the packed
+    AtomMsg buffer is sent from inside the kernel.  Here each face's cell
+    blocks (r, p, gid, counts) are packed into ONE [8, n, A] buffer of the
+    dynamics dtype (ints shipped exactly, see _pack_ints) and pushed with a
+    single remote copy per direction; arrivals are re-binned by coordinate
+    exactly as the collective path (exchange.exchange_atoms), so the two
+    transports are bit-identical end to end.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    A = r.shape[-1]
+    dtype = r.dtype
+    overflow = jnp.zeros((), jnp.bool_)
+
+    for axis in range(3):
+        name = plan.axis_names[axis]
+        ext = dtype.type(plan.local_extent[axis])
+        minus_ids, plus_ids = plan.atom_send[axis]
+
+        def pack(ids):
+            ids_j = jnp.asarray(ids)
+            gidc = _pack_ints(gid[ids_j], dtype)                  # [n, A]
+            cnts = _pack_ints(
+                jnp.broadcast_to(n_atoms[ids_j, None],
+                                 (len(ids), A)), dtype)           # [n, A]
+            return jnp.concatenate(
+                [r[:, ids_j], p[:, ids_j], gidc[None], cnts[None]], axis=0)
+
+        got_from_plus = _ring_push(pack(minus_ids), name, -1,
+                                   interpret=interpret,
+                                   collective_id=16 + 2 * axis)
+        got_from_minus = _ring_push(pack(plus_ids), name, +1,
+                                    interpret=interpret,
+                                    collective_id=17 + 2 * axis)
+
+        for buf, shift in ((got_from_minus, -ext), (got_from_plus, +ext)):
+            br, bp = buf[0:3], buf[3:6]
+            bg = _unpack_ints(buf[6], dtype)
+            bn = _unpack_ints(buf[7], dtype)[:, 0]
+            nmsg = bg.shape[0]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
+            valid = (slot < bn[:, None]).reshape(-1)
+            arr_r = br.reshape(3, -1).at[axis].add(shift)
+            from ..ops import binning
+            r, p, gid, n_atoms, ovf = binning.append_arrivals(
+                geom, r, p, gid, n_atoms, arr_r, bp.reshape(3, -1),
+                bg.reshape(-1), valid)
+            overflow |= ovf
+
+    return r, p, gid, n_atoms, overflow
+
+
+def make_df_eval_for_kernel(pot, dtype):
+    """(eval_fn, consts) for the fused pass-2 push kernel: the two-level
+    embedding-derivative evaluator with its packed table passed explicitly
+    (Pallas kernels cannot capture array constants)."""
+    from ..potentials import tables
+    T2np, nb = tables.pack_twolevel([pot.f], block_rows=8)
+    tab = pot.f
+
+    def eval_df(rho, T2):
+        (_f, df), = tables.interpolate_twolevel(
+            T2, nb, 8, 1, tab.n, tab.x0, tab.inv_dx, rho)
+        return df
+
+    return eval_df, (jnp.asarray(T2np, dtype=dtype),)
+
+
+def _pass2_push_kernel(*refs, n_consts, eval_df, axis_name, direction,
+                       single_axis, use_barrier):
+    """Fused embedding-derivative + remote push: compute dF(rhobar) for a
+    boundary plane IN-KERNEL and post it to the neighbor as soon as it is
+    written -- the comm_ki design point (pack/compute + in-kernel send,
+    comm_ki.cuh:187-310) expressed TPU-natively."""
+    rho_ref = refs[0]
+    const_refs = refs[1:1 + n_consts]
+    dfe_ref, recv_ref, send_sem, recv_sem = refs[1 + n_consts:]
+    dfe_ref[...] = eval_df(rho_ref[...],
+                           *(c[...] for c in const_refs))
+    my = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    dst = jax.lax.rem(my + jnp.int32(direction) + jnp.int32(n), jnp.int32(n))
+    src = jax.lax.rem(my - jnp.int32(direction) + jnp.int32(n), jnp.int32(n))
+
+    def did(idx):
+        return idx if single_axis else {axis_name: idx}
+
+    if use_barrier:
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=did(dst),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=did(src),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+        pltpu.semaphore_wait(barrier, 2)
+    rdma = pltpu.make_async_remote_copy(
+        src_ref=dfe_ref, dst_ref=recv_ref, send_sem=send_sem,
+        recv_sem=recv_sem, device_id=did(dst),
+        device_id_type=pltpu.DeviceIdType.MESH)
+    rdma.start()
+    rdma.wait()
+
+
+def _pass2_push(rho_plane, eval_df, axis_name, direction, *, interpret,
+                collective_id, single_axis=False, consts=()):
+    """Returns (dfe_plane_local, dfe_plane_received).  ``consts`` are the
+    evaluator's table arrays, passed through as kernel inputs."""
+    kern = functools.partial(
+        _pass2_push_kernel, n_consts=len(consts), eval_df=eval_df,
+        axis_name=axis_name, direction=direction, single_axis=single_axis,
+        use_barrier=not interpret)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(consts)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct(rho_plane.shape, rho_plane.dtype),
+                   jax.ShapeDtypeStruct(rho_plane.shape, rho_plane.dtype)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(rho_plane, *consts)
+
+
+def exchange_scalar_ki_fused(plan: ExchangePlan, geom: CellGeometry, x,
+                             rhobar_l=None, *, eval_df=None, df_consts=(),
+                             interpret: bool | None = None):
+    """dfEmbed exchange with the x-stage pushes FUSED into the embedding
+    evaluation: the kernel computes dF(rhobar) for each +-x boundary plane
+    and posts it with make_async_remote_copy as soon as it is written (the
+    reference's exchangeData_Force_KI fusion, comm_ki.cuh:187-310: worker
+    blocks pack, the last one triggers the in-kernel send).  The y/z stages
+    forward received columns, which by construction depend on the x-stage
+    arrivals, so they remain plain kernel-initiated pushes of the assembled
+    field.
+
+    ``eval_df`` is the rho -> dF evaluator (make_f_eval's derivative
+    output); it must match the pass-2 evaluator for the interior so plane
+    and interior values are consistent.  Falls back to the unfused path
+    when rhobar/eval_df are unavailable.
+    """
+    if rhobar_l is None or eval_df is None:
+        return exchange_scalar_ki(plan, geom, x, interpret=interpret)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # --- x stage: fused compute+push ---
+    axis = 0
+    name = plan.axis_names[axis]
+    send_m, send_p = (jnp.asarray(v) for v in plan.force_send[axis])
+    recv_m, recv_p = (jnp.asarray(v) for v in plan.force_recv[axis])
+    _, got_from_plus = _pass2_push(rhobar_l[send_m], eval_df, name, -1,
+                                   interpret=interpret, collective_id=22,
+                                   consts=df_consts)
+    _, got_from_minus = _pass2_push(rhobar_l[send_p], eval_df, name, +1,
+                                    interpret=interpret, collective_id=23,
+                                    consts=df_consts)
+    x = x.at[recv_p].set(got_from_plus.astype(x.dtype))
+    x = x.at[recv_m].set(got_from_minus.astype(x.dtype))
+
+    # --- y/z stages: kernel-initiated pushes of the assembled field ---
+    for axis in (1, 2):
+        name = plan.axis_names[axis]
+        send_m, send_p = (jnp.asarray(v) for v in plan.force_send[axis])
+        recv_m, recv_p = (jnp.asarray(v) for v in plan.force_recv[axis])
+        got_from_plus = _ring_push(x[send_m], name, -1, interpret=interpret,
+                                   collective_id=7 + 2 * axis)
+        got_from_minus = _ring_push(x[send_p], name, +1, interpret=interpret,
                                     collective_id=8 + 2 * axis)
         x = x.at[recv_p].set(got_from_plus)
         x = x.at[recv_m].set(got_from_minus)

@@ -114,10 +114,18 @@ class ShardedSimulation:
         cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.box_chunk
-        if cfg.comm_impl == "ki":
+        if cfg.comm_impl in ("ki", "ki_fused"):
             from . import pallas_comm
-            fill = functools.partial(pallas_comm.exchange_scalar_ki,
-                                     plan, geom)
+            if (cfg.comm_impl == "ki_fused"
+                    and isinstance(pot, EamPotential) and not cfg.spline):
+                eval_df, consts = pallas_comm.make_df_eval_for_kernel(
+                    pot, cfg.jax_dtype)
+                fill = functools.partial(
+                    pallas_comm.exchange_scalar_ki_fused, plan, geom,
+                    eval_df=eval_df, df_consts=consts)
+            else:
+                fill = functools.partial(pallas_comm.exchange_scalar_ki,
+                                         plan, geom)
         else:
             fill = functools.partial(exchange.exchange_scalar, plan, geom)
         fold = functools.partial(exchange.fold_halo, plan, geom)
@@ -202,11 +210,24 @@ class ShardedSimulation:
                 return f_loc, e_pot
         return force
 
+
+    def _exchange_atoms_fn(self):
+        """Atom-exchange transport per Config.comm_impl: XLA collectives
+        (default) or the kernel-initiated Pallas RDMA path (the
+        exchangeData_Atoms_KI analog, comm_ki.cuh:437-496)."""
+        if self.cfg.comm_impl in ("ki", "ki_fused"):
+            from . import pallas_comm
+            return functools.partial(pallas_comm.exchange_atoms_ki,
+                                     self.plan, self.geom)
+        return functools.partial(exchange.exchange_atoms, self.plan,
+                                 self.geom)
+
     def _shard_step(self, want_energy: bool = True):
         cfg, geom, plan = self.cfg, self.geom, self.plan
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
         force = self._force_fn(want_energy)
+        xatoms = self._exchange_atoms_fn()
         n_local_boxes = geom.n_local
 
         use_async = bool(cfg.gpu_async)
@@ -219,8 +240,7 @@ class ShardedSimulation:
             with jax.named_scope("redistribute"):
                 r_pre, p, gid, n_atoms, nmig, ovf1 = binning.rebucket(
                     geom, r, p, state.gid, state.n_atoms, keep_halo=True)
-                r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
-                    plan, geom, r_pre, p, gid, n_atoms)
+                r, p, gid, n_atoms, ovf2 = xatoms(r_pre, p, gid, n_atoms)
                 ovf = jax.lax.psum((ovf1 | ovf2).astype(jnp.int32),
                                    ("x", "y", "z")) > 0
                 r, p, gid = binning.sort_cells(r, p, gid)
@@ -334,6 +354,7 @@ class ShardedSimulation:
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
         force = self._force_fn_nl(want_energy)
+        xatoms = self._exchange_atoms_fn()
         skin = self.skin
         params = self._nl_build_params()
         n_local_boxes = geom.n_local
@@ -343,8 +364,7 @@ class ShardedSimulation:
             r, p, gid, n_atoms, _nl = args
             r, p, gid, n_atoms, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, keep_halo=True)
-            r, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
-                plan, geom, r, p, gid, n_atoms)
+            r, p, gid, n_atoms, ovf2 = xatoms(r, p, gid, n_atoms)
             r, p, gid = binning.sort_cells(r, p, gid)
             nl, ovf3 = nlmod.build(geom, r, n_atoms, **params)
             return r, p, gid, n_atoms, nl, ovf | ovf2 | ovf3
@@ -390,6 +410,7 @@ class ShardedSimulation:
         dt = cfg.dt
         inv_mass = 1.0 / self.mass
         force = self._force_fn(want_energy)
+        xatoms = self._exchange_atoms_fn()
         skin = self.skin
         n_local_boxes = geom.n_local
         axes = ("x", "y", "z")
@@ -399,8 +420,7 @@ class ShardedSimulation:
             r, p, gid, n_atoms, _last = args
             r1, p, gid, n_atoms, _nm, ovf = binning.rebucket(
                 geom, r, p, gid, n_atoms, keep_halo=True)
-            r2, p, gid, n_atoms, ovf2 = exchange.exchange_atoms(
-                plan, geom, r1, p, gid, n_atoms)
+            r2, p, gid, n_atoms, ovf2 = xatoms(r1, p, gid, n_atoms)
             r2, p, gid = binning.sort_cells(r2, p, gid)
             # r_pre = r2 (not the pre-exchange r1): migration happens ONLY
             # on rebuild steps, so handing the interior sweep post-exchange
@@ -741,10 +761,11 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
 
 def _initial_exchange_fn(sim: ShardedSimulation):
     geom, plan = sim.geom, sim.plan
+    xatoms = sim._exchange_atoms_fn()
 
     def fn(state: SimState, _):
-        r, p, gid, n_atoms, ovf = exchange.exchange_atoms(
-            plan, geom, state.r, state.p, state.gid, state.n_atoms)
+        r, p, gid, n_atoms, ovf = xatoms(
+            state.r, state.p, state.gid, state.n_atoms)
         r, p, gid = binning.sort_cells(r, p, gid)
         return dataclasses.replace(state, r=r, p=p, gid=gid,
                                    n_atoms=n_atoms), ()

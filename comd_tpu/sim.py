@@ -129,7 +129,8 @@ class Simulation:
 
         if isinstance(pot, EamPotential):
             def force(r, n_atoms):
-                fill = functools.partial(binning.fill_halo_scalar_serial, geom)
+                def fill(x, rhobar_l=None):
+                    return binning.fill_halo_scalar_serial(geom, x)
                 if use_pallas:
                     f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
                         geom, pot, r, fill, chunk=chunk, e_dtype=e_dtype,
@@ -237,7 +238,8 @@ class Simulation:
 
         if isinstance(pot, EamPotential):
             def force(nlist, r, n_atoms):
-                fill = functools.partial(binning.fill_halo_scalar_serial, geom)
+                def fill(x, rhobar_l=None):
+                    return binning.fill_halo_scalar_serial(geom, x)
                 f_full, e_pot, _dfe = force_eam.eam_force_nl(
                     nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
                     e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl,
