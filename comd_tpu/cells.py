@@ -389,8 +389,9 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
         if not legal:
             tmin = min(s[2] for s in scored)
             raise ValueError(
-                f"explicit max_atoms={max_atoms} below the minimum t=0 "
-                f"occupancy {tmin} of every feasible cell sizing")
+                f"cell capacity max_atoms={max_atoms} is below the minimum "
+                f"t=0 occupancy {tmin} of every feasible cell sizing; "
+                f"increase --maxAtoms (or 0 for auto)")
         scored = legal
     for cand_mode, cell, t0_max, margin, mean_occ in scored:
         a_cap = max_atoms if max_atoms > 0 else _round8(t0_max)

@@ -82,10 +82,14 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
         T2 = jnp.asarray(T2np, dtype=dtype)
         tab = pot.phi
 
+        # batch=4096 measured fastest for f32 pair-tensor lookup counts;
+        # f64 pays ~20us of serial dispatch per map body (226M lookups =
+        # 55k bodies at 4096), so it batches 16x coarser
+        batch = 4096 if jnp.dtype(dtype) == jnp.float32 else 65536
+
         def eval_both(rr):
-            # batch=4096 measured fastest at pair-tensor lookup counts
             (phi, dphi), (rho, drho) = tables.interpolate_twolevel(
-                T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr, batch=4096)
+                T2, nb, 8, 2, tab.n, tab.x0, tab.inv_dx, rr, batch=batch)
             return phi, dphi, rho, drho
 
         def eval_phi(r2, rr):

@@ -207,8 +207,11 @@ def make_df_eval_for_kernel(pot, dtype):
     tab = pot.f
 
     def eval_df(rho, T2):
+        # batch >= plane size: single-body path (no lax.map; Mosaic's scan
+        # lowering rejects extensive outputs inside kernels)
         (_f, df), = tables.interpolate_twolevel(
-            T2, nb, 8, 1, tab.n, tab.x0, tab.inv_dx, rho)
+            T2, nb, 8, 1, tab.n, tab.x0, tab.inv_dx, rho,
+            batch=int(np.prod(jnp.shape(rho))))
         return df
 
     return eval_df, (jnp.asarray(T2np, dtype=dtype),)

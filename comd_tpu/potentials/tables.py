@@ -148,6 +148,19 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
     shape = jnp.shape(r)
     width = 4 * n_tabs
 
+    # f64 tables: the MXU has no f64 path (XLA emulates f64 dot in
+    # software -- measured 48x slower than the f32 fetch on v5e, and the
+    # emulation crashes the TPU worker at production sizes).  Fetch through
+    # TWO f32 planes instead: hi = f32(T2), lo = f32(T2 - hi).  One-hot
+    # selection through an f32 dot returns each plane's entries exactly
+    # (HIGHEST precision reconstructs f32 operands), so hi + lo recovers
+    # the f64 table values to the double-f32 representation (~2^-49
+    # relative, below the 1e-9 golden tolerance by 6 orders).
+    split_f64 = dtype == jnp.float64
+    if split_f64:
+        T2_hi = T2.astype(jnp.float32)
+        T2_lo = (T2 - T2_hi.astype(jnp.float64)).astype(jnp.float32)
+
     # Batch internally and do ALL the work (index math, one-hot, matmul,
     # row-select, quadratic combine) inside the map body: XLA then fuses
     # everything around the matmul and only the final (f, df) arrays touch
@@ -183,9 +196,21 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
         shift = block_rows.bit_length() - 1
         hi = ii >> shift
         lo = ii & (block_rows - 1)
-        oh = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-              ).astype(dtype)
-        fetched = jax.lax.dot(oh, T2, precision=jax.lax.Precision.HIGHEST)
+        if split_f64:
+            oh = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+            fetched = (
+                jax.lax.dot(oh, T2_hi,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(jnp.float64)
+                + jax.lax.dot(oh, T2_lo,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(jnp.float64))
+        else:
+            oh = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                  ).astype(dtype)
+            fetched = jax.lax.dot(oh, T2,
+                                  precision=jax.lax.Precision.HIGHEST)
         sel = (lo[:, None] == jnp.arange(
             block_rows, dtype=jnp.int32)[None, :]).astype(dtype)
         vals = jnp.sum(
@@ -203,7 +228,14 @@ def interpolate_twolevel(T2, nb: int, block_rows: int, n_tabs: int,
             outs.append(0.5 * (g1 + frac * (g2 - g1)) * inv_dx)
         return tuple(outs)
 
-    flat_outs = jax.lax.map(body, rb)   # each [nbat, batch]
+    if nbat == 1:
+        # single body: skip lax.map entirely.  Besides saving a trivial
+        # scan, this keeps the evaluator usable INSIDE Pallas kernels
+        # (Mosaic's scan lowering rejects extensive outputs) -- the fused
+        # kernel-initiated dfEmbed push evaluates planes this way.
+        flat_outs = tuple(o[None] for o in body(rb[0]))
+    else:
+        flat_outs = jax.lax.map(body, rb)   # each [nbat, batch]
     outs = []
     for t in range(n_tabs):
         f = flat_outs[2 * t].reshape(-1)[:N].reshape(shape)

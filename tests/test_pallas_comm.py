@@ -108,8 +108,10 @@ def test_fused_pass2_push_computes_df_and_moves():
         body, mesh=mesh, in_specs=(P("x"),),
         out_specs=(P("x"), P("x")), check_vma=False))(rho)
     want = np.asarray(eval_df(rho, *consts))
-    np.testing.assert_array_equal(np.asarray(dfe), want)
+    # in-kernel vs XLA evaluation may contract FMAs differently: <= 1 ulp
+    np.testing.assert_allclose(np.asarray(dfe), want, rtol=1e-6)
     got = np.asarray(recv).reshape(n, 8, 16)
-    ref = want.reshape(n, 8, 16)
+    ref = np.asarray(dfe).reshape(n, 8, 16)
+    # the received plane is exactly what the neighbor's kernel computed
     for i in range(n):
         np.testing.assert_array_equal(got[(i + 1) % n], ref[i])
