@@ -105,6 +105,13 @@ class Config:
                                    # the x-stage dfEmbed push fused into
                                    # the in-kernel embedding-derivative
                                    # evaluation, comm_ki.cuh:187-310)
+    sweep_impl: str = "auto"    # cell-sweep formulation: "gather" (27-way
+                                # row gather, j slots on lanes) or
+                                # "dense_t" (transposed stencil: cells on
+                                # lanes, static shifted-slice neighbors --
+                                # avoids the padded-minor-axis gather
+                                # traffic that dominates at A<32; round-3
+                                # measurement); "auto" picks by capacity
     half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo
@@ -150,6 +157,16 @@ class Config:
     @property
     def use_nl(self) -> bool:
         return self.method in ("thread_atom_nl", "warp_atom_nl", "cpu_nl")
+
+    @property
+    def resolved_sweep_impl(self) -> str:
+        if self.sweep_impl != "auto":
+            return self.sweep_impl
+        # measured (docs/BENCHMARKS.md round 3): the gather sweep's 27x
+        # j-fetch moves 128/A x the real data (minor-axis padding); at
+        # A=32 it hides under pair compute, below that the transposed
+        # stencil wins
+        return "dense_t" if 0 < self.max_atoms < 32 else "gather"
 
     @property
     def resolved_interp_impl(self) -> str:

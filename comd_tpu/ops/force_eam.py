@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..cells import CellGeometry
 from ..potentials.eam import EamPotential
 from ..potentials import tables
-from .sweep import cell_pair_sweep
+from .sweep import cell_pair_sweep, cell_pair_sweep_dense_t
 
 
 def _interp(table_dev, tab, rr):
@@ -84,8 +84,10 @@ def make_evaluators(pot: EamPotential, dtype, spline: bool,
 
         # batch=4096 measured fastest for f32 pair-tensor lookup counts;
         # f64 pays ~20us of serial dispatch per map body (226M lookups =
-        # 55k bodies at 4096), so it batches 16x coarser
-        batch = 4096 if jnp.dtype(dtype) == jnp.float32 else 65536
+        # 55k bodies at 4096), so it batches coarser -- but not so coarse
+        # that the [batch, nb] one-hot block overruns VMEM (65536 rows
+        # produced FAILED_PRECONDITION on v5e)
+        batch = 4096 if jnp.dtype(dtype) == jnp.float32 else 16384
 
         def eval_both(rr):
             (phi, dphi), (rho, drho) = tables.interpolate_twolevel(
@@ -229,6 +231,7 @@ def eam_force(
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
     want_energy: bool = True,
+    sweep_impl: str = "gather",
 ):
     """Returns (force [3, n_local, A], U_raw [n_local, A], dfEmbed [B, A]).
 
@@ -240,10 +243,12 @@ def eam_force(
     rcut2 = pot.cutoff * pot.cutoff
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     eval_f = make_f_eval(pot, dtype, interp_impl)
+    sweep = (cell_pair_sweep_dense_t if sweep_impl == "dense_t"
+             else cell_pair_sweep)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
     pair1 = make_pair1(eval_phi, eval_rho, want_energy)
-    f1, scal = cell_pair_sweep(geom, r, pair1, rcut2, chunk=chunk)
+    f1, scal = sweep(geom, r, pair1, rcut2, chunk=chunk)
     phi_sum, rhobar_l = scal if want_energy else (None, scal[0])
 
     # ---- pass 2: embedding term (eam.c:351-366) ----
@@ -267,8 +272,8 @@ def eam_force(
 
     # ---- pass 3: embedding force (eam.c:374-413) ----
     pair3 = make_pair3(eval_rho)
-    f3, _ = cell_pair_sweep(geom, r, pair3, rcut2, chunk=chunk,
-                            scalar_j=[df_embed])
+    f3, _ = sweep(geom, r, pair3, rcut2, chunk=chunk,
+                  scalar_j=[df_embed])
     return f1 + f3, u, df_embed
 
 

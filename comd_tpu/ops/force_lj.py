@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..cells import CellGeometry
 from ..potentials.lj import LjPotential
 from ..potentials import tables
-from .sweep import cell_pair_sweep
+from .sweep import cell_pair_sweep, cell_pair_sweep_dense_t
 
 
 def make_lj_pair_fn(pot: LjPotential, dtype, want_energy: bool = True):
@@ -48,11 +48,14 @@ def make_lj_pair_fn(pot: LjPotential, dtype, want_energy: bool = True):
 
 
 def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
-             e_dtype=jnp.float64, want_energy: bool = True):
+             e_dtype=jnp.float64, want_energy: bool = True,
+             sweep_impl: str = "gather"):
     """Compute (force [3, n_local, A], U [n_local, A], ePot scalar)."""
     rcut2 = pot.cutoff * pot.cutoff
     pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
-    force, scal = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk)
+    sweep = (cell_pair_sweep_dense_t if sweep_impl == "dense_t"
+             else cell_pair_sweep)
+    force, scal = sweep(geom, r, pair_fn, rcut2, chunk=chunk)
     if not want_energy:
         return force, None, None
     # each pair counted twice in the full sweep -> x0.5, then the global

@@ -128,6 +128,113 @@ def cell_pair_sweep_dense(
     return force, scalars
 
 
+def cell_pair_sweep_dense_t(
+    geom: CellGeometry,
+    r: jnp.ndarray,                    # [3, B, A]
+    pair_fn: Callable,
+    rcut2: float,
+    *,
+    scalar_j: Sequence[jnp.ndarray] = (),
+    chunk: int = 256,
+    want_force: bool = True,
+):
+    """TRANSPOSED dense stencil sweep: cells ride the minor (lane) axis.
+
+    Motivation (measured, round 3): the [B, A] state layout pads the minor
+    A axis to 128 lanes physically, so the gather-form sweep's 27x j-fetch
+    moves 128/A times the real data -- hidden under pair compute at A=32
+    (k=4 cells) but EXPOSED at A=16 (k=3), costing ~1.9x per slot pair.
+    Here positions are transposed ONCE per pass to [3, A, D] (A=16/32 pads
+    to a clean 8-multiple sublane count, D is the dense-extended cell axis
+    on lanes), every neighbor view is a static shifted slice along the
+    minor axis, and the pair tensor is [A_i, 27*A_j, C] with C cells on
+    lanes -- the layout of the Pallas stencil kernels (ops/pallas/
+    stencil.py), but in pure XLA where the round-2 Mosaic relayout tax
+    does not apply.
+
+    Same contract as cell_pair_sweep (local boxes, reference order).
+    """
+    A = r.shape[-1]
+    dtype = r.dtype
+    d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
+    D = len(b_of_d)
+
+    C = min(chunk, D)
+    n_chunks = -(-D // C)
+    Dp = n_chunks * C
+    rpad = pad + (Dp - D)
+
+    # one transpose into cells-on-lanes order + sentinel padding
+    rd = jnp.take(r, jnp.asarray(b_of_d), axis=1)          # [3, D, A]
+    rt = jnp.transpose(rd, (0, 2, 1))                      # [3, A, D]
+    sent_l = jnp.full((3, A, pad), dtype.type(1.0e10), dtype=dtype)
+    sent_r = jnp.full((3, A, rpad), dtype.type(1.0e10), dtype=dtype)
+    rp = jnp.concatenate([sent_l, rt, sent_r], axis=2)     # [3, A, pad+Dp+pad']
+    sp = []
+    for s in scalar_j:
+        sd = jnp.transpose(jnp.take(s, jnp.asarray(b_of_d), axis=0))
+        sp.append(jnp.concatenate(
+            [jnp.zeros((A, pad), s.dtype), sd,
+             jnp.zeros((A, rpad), s.dtype)], axis=1))      # [A, ...]
+
+    def body(c0):
+        ri = jax.lax.dynamic_slice_in_dim(rp, pad + c0, C, axis=2)
+        rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + c0 + int(d), C, axis=2)
+               for d in flat_offsets]
+        rj = jnp.concatenate(rjs, axis=1)                  # [3, 27A, C]
+        dr = ri[:, :, None, :] - rj[:, None, :, :]         # [3, A, 27A, C]
+        r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+        mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+        sj = []
+        si = []
+        for s in sp:
+            ss = [jax.lax.dynamic_slice_in_dim(s, pad + c0 + int(d), C,
+                                               axis=1)
+                  for d in flat_offsets]
+            sj.append(jnp.concatenate(ss, axis=0)[None, :, :])  # [1,27A,C]
+            si.append(jax.lax.dynamic_slice_in_dim(
+                s, pad + c0, C, axis=1)[:, None, :])            # [A,1,C]
+        fcoef, scalars = pair_fn(r2, mask, sj, si)
+
+        operands = []
+        if want_force:
+            operands.extend(fcoef * dr[a] for a in range(3))
+        operands.extend(scalars)
+        zero = r2.dtype.type(0)
+        red = jax.lax.reduce(
+            tuple(operands), (zero,) * len(operands),
+            lambda acc, x: tuple(a + b for a, b in zip(acc, x)),
+            (1,))                                          # sum over 27A_j
+
+        outs = []
+        i = 0
+        if want_force:
+            outs.append(jnp.stack(red[:3]))                # [3, A, C]
+            i = 3
+        outs.extend(red[i:])                               # each [A, C]
+        return tuple(outs)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * C
+    results = jax.lax.map(body, starts)
+
+    back = jnp.asarray(d_of_b[:geom.n_local])
+    out = []
+    i = 0
+    if want_force:
+        # [n_chunks, 3, A, C] -> [3, A, n_chunks*C] -> [3, Dp, A]
+        f = jnp.moveaxis(results[0], 0, 2).reshape(3, A, Dp)
+        f = jnp.transpose(f, (0, 2, 1))
+        out.append(jnp.take(f, back, axis=1))
+        i = 1
+    for res in results[i:]:
+        # [n_chunks, A, C] -> [A, n_chunks*C] -> [Dp, A]
+        s = jnp.moveaxis(res, 0, 1).reshape(A, Dp)
+        out.append(jnp.take(jnp.transpose(s), back, axis=0))
+    force = out[0] if want_force else None
+    scalars = out[1:] if want_force else out
+    return force, scalars
+
+
 def is_local_dense(geom: CellGeometry) -> np.ndarray:
     """[D] flag: dense row holds a LOCAL cell (not a halo image)."""
     d_of_b, b_of_d, _, _ = dense_maps(geom)

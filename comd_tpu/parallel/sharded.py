@@ -165,7 +165,8 @@ class ShardedSimulation:
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
                         interp_impl=cfg.resolved_interp_impl,
-                        want_energy=want_energy)
+                        want_energy=want_energy,
+                        sweep_impl=cfg.resolved_sweep_impl)
                 if u_raw is None:
                     return f_loc, None
                 A = r.shape[-1]
@@ -206,7 +207,8 @@ class ShardedSimulation:
                 else:
                     f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
                                              e_dtype=e_dtype,
-                                             want_energy=want_energy)
+                                             want_energy=want_energy,
+                                             sweep_impl=cfg.resolved_sweep_impl)
                 return f_loc, e_pot
         return force
 

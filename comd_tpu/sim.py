@@ -147,7 +147,8 @@ class Simulation:
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
                         e_dtype=e_dtype,
                         interp_impl=cfg.resolved_interp_impl,
-                        want_energy=want_energy)
+                        want_energy=want_energy,
+                        sweep_impl=cfg.resolved_sweep_impl)
                 if u_raw is None:
                     return f_loc, None, None
                 A = r.shape[-1]
@@ -181,7 +182,8 @@ class Simulation:
             def force(r, n_atoms):
                 return force_lj.lj_force(geom, pot, r, chunk=chunk,
                                          e_dtype=e_dtype,
-                                         want_energy=want_energy)
+                                         want_energy=want_energy,
+                                         sweep_impl=cfg.resolved_sweep_impl)
         return force
 
     def _make_step(self, want_energy: bool = True):

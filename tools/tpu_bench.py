@@ -38,10 +38,11 @@ def main():
     interp = os.environ.get("BENCH_INTERP", "auto")
     half = os.environ.get("BENCH_HALF", "0") == "1"
     hilbert = os.environ.get("BENCH_HILBERT", "0") == "1"
+    sweep = os.environ.get("BENCH_SWEEP", "auto")
     pot_type = os.environ.get("BENCH_POT_TYPE", "funcfl")
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                  dtype=dtype, max_atoms=max_atoms, cell_mode=cell_mode,
-                 interp_impl=interp, box_chunk=chunk,
+                 interp_impl=interp, box_chunk=chunk, sweep_impl=sweep,
                  half_shell=half, method=method, pot_type=pot_type,
                  do_hilbert=hilbert, pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
