@@ -280,7 +280,8 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
                mode: str = "auto", max_atoms: int = 0,
                trigger_from_cell: bool = True,
                n_atoms_total: int = None,
-               stat_reduce=None) -> CellPlan:
+               stat_reduce=None,
+               margin_slots: int = 0) -> CellPlan:
     """Choose cell size + per-cell capacity for a run (TPU-native addition).
 
     The reference fixes MAXATOMS=64 at compile time (Makefile:16) and sizes
@@ -394,7 +395,8 @@ def plan_cells(*, cutoff: float, lat: float, n_cells, proc_grid,
                 f"increase --maxAtoms (or 0 for auto)")
         scored = legal
     for cand_mode, cell, t0_max, margin, mean_occ in scored:
-        a_cap = max_atoms if max_atoms > 0 else _round8(t0_max)
+        a_cap = (max_atoms if max_atoms > 0
+                 else _round8(t0_max + margin_slots))
         cost = _slot_cost(a_cap, mean_occ)
         plan = CellPlan(
             cell_size=np.asarray(cell, np.float64),

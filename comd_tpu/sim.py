@@ -544,12 +544,20 @@ def plan_geometry(cfg: Config, pot, lat: float, r_global: np.ndarray,
     use_skin = uses_nl or lazy
     skin_req = pot.cutoff * cfg.relative_skin_distance if use_skin else 0.0
 
+    # auto-capacity margin: the commensurate occupancy-stability argument
+    # (0.25*lat face margin >> thermal rms) holds for solids; near/above
+    # melting (Cu T_m = 1358 K) or under large -r jitter occupancy can
+    # drift, so pad the auto capacity -- the in-program overflow flag
+    # still aborts loudly if even that is exceeded
+    margin = 8 if (cfg.temperature > 1200.0
+                   or cfg.initial_delta > 0.3) else 0
     plan = cells.plan_cells(
         cutoff=pot.cutoff, lat=lat, n_cells=n_cells, proc_grid=proc_grid,
         r_global=r_global, skin_req=skin_req, lazy=lazy,
         mode="classic" if uses_nl else cfg.cell_mode,
         max_atoms=cfg.max_atoms, trigger_from_cell=not uses_nl,
-        n_atoms_total=n_atoms_total, stat_reduce=stat_reduce)
+        n_atoms_total=n_atoms_total, stat_reduce=stat_reduce,
+        margin_slots=margin)
     cfg = dataclasses.replace(cfg, max_atoms=plan.max_atoms,
                               cell_mode=plan.mode)
     geom = cells.make_geometry(

@@ -155,3 +155,15 @@ class TestPhysicsInvariance:
         e1 = (s1.e_potential + s1.kinetic_energy()) / s1.n_global
         e8 = (s8.e_potential + s8.kinetic_energy()) / s8.n_global
         assert e1 == pytest.approx(e8, abs=1e-8)
+
+
+def test_hot_run_gets_capacity_margin():
+    """Near/above melting the commensurate stability argument weakens, so
+    auto capacity pads by a margin (overflow abort remains the backstop)."""
+    cfg = Config(doeam=True, nx=8, ny=8, nz=8, n_steps=0,
+                 temperature=1400.0)
+    s = sim_mod.init_simulation(cfg)
+    assert s.cfg.max_atoms == 40      # 32 occupancy + 8 margin
+    cfg = Config(doeam=True, nx=8, ny=8, nz=8, n_steps=0)
+    s = sim_mod.init_simulation(cfg)
+    assert s.cfg.max_atoms == 32
