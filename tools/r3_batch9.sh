@@ -1,0 +1,11 @@
+#!/bin/bash
+set -u
+cd /root/repo
+run() {
+  echo "=== $* [$(date +%H:%M:%S)] ==="
+  timeout 2400 "$@"
+  echo "=== rc=$? ==="
+  sleep 15
+}
+run python tools/r3_probe_a16c.py 16
+run python tools/r3_probe_a16c.py 32
