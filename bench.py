@@ -47,8 +47,11 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
 
     pots = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pots")
     # max_atoms=0 + cell_mode auto: lattice-commensurate cells with
-    # auto-sized capacity (round 3; for the 64^3 EAM headline this picks
-    # cell = 2 unit cells, occupancy exactly 32 = capacity, no slot slack)
+    # auto-sized capacity.  The 63^3 EAM headline picks cell = 1.5 unit
+    # cells (k=3, A=16, 42^3 grid) and the static shifted-slice sweep at
+    # chunk=1024 -- the measured-best round-3 config (36.5 ms/step; the
+    # k=4 exact-pack 64^3 alternative is 44.4).  63 (not 64) because the
+    # k=3 commensurate sizing needs n_cells divisible by 1.5.
     cfg = Config(nx=n_cells, ny=n_cells, nz=n_cells, doeam=doeam,
                  temperature=600.0, dtype=dtype, max_atoms=0,
                  cell_mode=os.environ.get("BENCH_CELLMODE", "auto"),
@@ -89,7 +92,7 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
 
 def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
-    chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))   # 0 = auto by sweep impl
     short = int(os.environ.get("BENCH_SHORT", 2))
     long = int(os.environ.get("BENCH_LONG", 7))
     forced = os.environ.get("BENCH_CELLS")
@@ -99,7 +102,7 @@ def main():
     want_eam = os.environ.get("BENCH_POT", "eam") == "eam"
 
     attempts = ([(int(forced), want_eam)] if forced else
-                ([(64, True), (48, True), (32, True)] if want_eam else
+                ([(63, True), (48, True), (33, True)] if want_eam else
                  [(64, False), (48, False), (32, False)]))
 
     n_atoms, per_step, label = None, None, None

@@ -264,13 +264,15 @@ def _slot_cost(a_cap: int, mean_occ: float) -> float:
     to 128), and every slot pair costs the same VPU work whether occupied or
     not (measured ~95% of roofline per slot pair, docs/BENCHMARKS.md).
 
-    The sublane term floors at 32: measured on v5e (round 3), the A=16
-    sweep runs at ~1.9x the per-slot-pair cost of the A=32 sweep --
-    shrinking A below 32 buys lanes but not sublane time.  With the floor
-    the model ranks the three measured 1M-atom EAM configs correctly
-    (k=4 exact-pack 896 < k=3 1214 < classic 2026 model units, against
-    measured 42 < 55 < 107 ns/atom)."""
-    sub = max(_round8(a_cap), 32)
+    A<32 configs run the static shifted-slice sweep (config.resolved_sweep
+    _impl) which at chunk=1024 pays only ~1.25x per slot pair vs the A=32
+    gather sweep (round-3 measurement: 39.3 vs 49.0 Gslot-pairs/s; the
+    earlier ~1.9x "A<32 anomaly" was per-chunk slice/gather overhead,
+    amortized by larger chunks).  With that penalty the model ranks the
+    three measured 1M-atom EAM configs correctly (k=3 dense 758 < k=4
+    exact-pack 896 < classic 2048 model units, against measured step costs
+    36.5 < 42.3 < 107 ns/atom)."""
+    sub = _round8(a_cap) * (1.25 if a_cap < 32 else 1.0)
     lanes = -(-27 * a_cap // 128) * 128
     return sub * lanes / max(mean_occ, 1e-9)
 

@@ -79,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
            "no capacity slack), or auto (price both, take the cheaper)")
     a("--dtype", default="float32", choices=["float32", "float64"],
       help="dynamics precision (energies always f64-accumulated)")
-    a("--boxChunk", type=int, default=256, help="cells per force-sweep chunk")
+    a("--boxChunk", type=int, default=0,
+      help="cells per force-sweep chunk (0 = auto by sweep impl)")
     a("--halfShell", action="store_true",
       help="Newton's-3rd-law pair-once sweeps (the reference half-list "
            "kernels; with -m cta_cell, the Pallas dual-delivery kernel)")

@@ -85,7 +85,12 @@ class Config:
                                 # cheaper (cells.plan_cells)
     dtype: str = "float32"      # dynamics dtype; energies always f64-accumulated
     energy_dtype: str = "float64"
-    box_chunk: int = 256        # boxes per force-sweep chunk (memory knob)
+    box_chunk: int = 0          # boxes per force-sweep chunk (memory knob);
+                                # 0 = auto (1024 for the dense slice sweep,
+                                # whose per-chunk slice setup amortizes with
+                                # chunk size and whose A<32 tensors stay in
+                                # VMEM at C=1024; 256 otherwise -- larger
+                                # chunks measured to spill at A=32)
     interp_impl: str = "auto"   # EAM table lookup: "rows" (exact gathers),
                                 # "twolevel" (gather-free one-hot matmul,
                                 # ~40x faster on TPU, <=1 ulp), "cheb"
@@ -106,12 +111,15 @@ class Config:
                                    # the in-kernel embedding-derivative
                                    # evaluation, comm_ki.cuh:187-310)
     sweep_impl: str = "auto"    # cell-sweep formulation: "gather" (27-way
-                                # row gather, j slots on lanes) or
-                                # "dense_t" (transposed stencil: cells on
-                                # lanes, static shifted-slice neighbors --
-                                # avoids the padded-minor-axis gather
-                                # traffic that dominates at A<32; round-3
-                                # measurement); "auto" picks by capacity
+                                # row gather, j slots on lanes), "dense"
+                                # (same pair-tensor layout, j rows fetched
+                                # as static shifted slices of the dense 3D
+                                # cell order -- no gather), or "dense_t"
+                                # (transposed stencil: cells on lanes).
+                                # Both dense forms avoid the padded-minor-
+                                # axis gather traffic that dominates at
+                                # A<32 (round-3 measurement); "auto" picks
+                                # by capacity
     half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo
@@ -164,9 +172,17 @@ class Config:
             return self.sweep_impl
         # measured (docs/BENCHMARKS.md round 3): the gather sweep's 27x
         # j-fetch moves 128/A x the real data (minor-axis padding); at
-        # A=32 it hides under pair compute, below that the transposed
-        # stencil wins
-        return "dense_t" if 0 < self.max_atoms < 32 else "gather"
+        # A=32 it hides under pair compute, below that the static
+        # shifted-slice sweep wins (and with chunk=1024 runs within ~1.25x
+        # of the A=32 per-slot-pair rate -- most of the "A<32 anomaly"
+        # was per-chunk gather/slice overhead, amortized by larger chunks)
+        return "dense" if 0 < self.max_atoms < 32 else "gather"
+
+    @property
+    def resolved_box_chunk(self) -> int:
+        if self.box_chunk > 0:
+            return self.box_chunk
+        return 1024 if self.resolved_sweep_impl == "dense" else 256
 
     @property
     def resolved_interp_impl(self) -> str:

@@ -60,18 +60,24 @@ def cell_pair_sweep_dense(
     """Gather-free variant of cell_pair_sweep: cells are laid out densely in
     3D so each of the 27 neighbor views is a *static shifted slice* of the
     flat cell axis -- the TPU-idiomatic stencil formulation (no dynamic
-    gathers, which XLA lowers poorly at scale).  Compute runs over all dense
-    cells (halo rows included, ~(X·Y·Z)/(gx·gy·gz) overhead) and results are
+    gathers, which XLA lowers poorly at scale).  i-compute runs over the
+    z-interior slab of the dense grid (x/y halo rows included,
+    ~(X·Y)/(gx·gy) overhead; the z halo planes are j-only) and results are
     permuted back to the reference numbering.
     """
     A = r.shape[-1]
     dtype = r.dtype
     d_of_b, b_of_d, flat_offsets, pad = dense_maps(geom)
     D = len(b_of_d)
+    gx, gy, gz = geom.grid
+    XY = (gx + 2) * (gy + 2)
+    z0 = XY                       # first dense row of the z-interior slab
+    span = XY * gz                # rows holding every local cell
 
-    n_chunks = -(-D // chunk)
+    chunk = min(chunk, span)      # small grids: no oversized round-up
+    n_chunks = -(-span // chunk)
     Dp = n_chunks * chunk
-    rpad = pad + (Dp - D)  # right padding also absorbs the chunk round-up
+    rpad = pad + max(0, z0 + Dp - D)  # right pad absorbs the chunk round-up
 
     # one row-permutation into dense order + sentinel padding
     rd = jnp.take(r, jnp.asarray(b_of_d), axis=1)          # [3, D, A]
@@ -86,9 +92,9 @@ def cell_pair_sweep_dense(
              jnp.zeros((rpad, A), s.dtype)], axis=0))
 
     def body(c0):
-        ri = jax.lax.dynamic_slice_in_dim(rp, pad + c0, chunk, axis=1)
-        rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + c0 + int(d), chunk,
-                                            axis=1)
+        ri = jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0, chunk, axis=1)
+        rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0 + int(d),
+                                            chunk, axis=1)
                for d in flat_offsets]
         rj = jnp.concatenate(rjs, axis=-1)                 # [3, C, 27A]
         dr = ri[:, :, :, None] - rj[:, :, None, :]         # [3, C, A, 27A]
@@ -97,24 +103,35 @@ def cell_pair_sweep_dense(
         sj = []
         si = []
         for s in sp:
-            ss = [jax.lax.dynamic_slice_in_dim(s, pad + c0 + int(d), chunk,
-                                               axis=0)
+            ss = [jax.lax.dynamic_slice_in_dim(s, pad + z0 + c0 + int(d),
+                                               chunk, axis=0)
                   for d in flat_offsets]
             sj.append(jnp.concatenate(ss, axis=-1).reshape(chunk, 1, 27 * A))
             si.append(jax.lax.dynamic_slice_in_dim(
-                s, pad + c0, chunk, axis=0)[:, :, None])
+                s, pad + z0 + c0, chunk, axis=0)[:, :, None])
         fcoef, scalars = pair_fn(r2, mask, sj, si)
-        outs = []
+        # one variadic reduce over j, as in cell_pair_sweep: keeps the
+        # shared per-pair chains in a single fusion
+        operands = []
         if want_force:
-            outs.append(jnp.stack(
-                [jnp.sum(fcoef * dr[a], axis=-1) for a in range(3)]))
-        outs.extend(jnp.sum(s, axis=-1) for s in scalars)
+            operands.extend(fcoef * dr[a] for a in range(3))
+        operands.extend(scalars)
+        zero = r2.dtype.type(0)
+        red = jax.lax.reduce(
+            tuple(operands), (zero,) * len(operands),
+            lambda acc, x: tuple(a + b for a, b in zip(acc, x)), (2,))
+        outs = []
+        i = 0
+        if want_force:
+            outs.append(jnp.stack(red[:3]))
+            i = 3
+        outs.extend(red[i:])
         return tuple(outs)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     results = jax.lax.map(body, starts)
 
-    back = jnp.asarray(d_of_b[:geom.n_local])
+    back = jnp.asarray(d_of_b[:geom.n_local] - z0)  # rows relative to slab
     out = []
     i = 0
     if want_force:

@@ -113,7 +113,7 @@ class ShardedSimulation:
     def _force_fn(self, want_energy: bool = True):
         cfg, geom, pot, plan = self.cfg, self.geom, self.pot, self.plan
         e_dtype = cfg.jax_energy_dtype
-        chunk = cfg.box_chunk
+        chunk = cfg.resolved_box_chunk
         if cfg.comm_impl in ("ki", "ki_fused"):
             from . import pallas_comm
             if (cfg.comm_impl == "ki_fused"
@@ -143,7 +143,7 @@ class ShardedSimulation:
             def force(r, n_atoms, r_pre=None):
                 if use_pallas:
                     f_loc, u_raw, _dfe = force_eam.eam_force_pallas(
-                        geom, pot, r, fill, chunk=max(cfg.box_chunk, 512),
+                        geom, pot, r, fill, chunk=max(cfg.resolved_box_chunk, 512),
                         e_dtype=e_dtype, interpret=interpret,
                         want_energy=want_energy, half=pallas_half,
                         fold=fold)
@@ -186,11 +186,11 @@ class ShardedSimulation:
                     if pallas_half:
                         f_loc, _u, e_pot = lj_force_stencil_half(
                             geom, pot, r, fold,
-                            chunk=max(cfg.box_chunk, 512), e_dtype=e_dtype,
+                            chunk=max(cfg.resolved_box_chunk, 512), e_dtype=e_dtype,
                             interpret=interpret, want_energy=want_energy)
                     else:
                         f_loc, _u, e_pot = lj_force_stencil(
-                            geom, pot, r, chunk=max(cfg.box_chunk, 512),
+                            geom, pot, r, chunk=max(cfg.resolved_box_chunk, 512),
                             e_dtype=e_dtype, interpret=interpret,
                             want_energy=want_energy)
                 elif use_async:

@@ -116,7 +116,7 @@ class Simulation:
         computes energy; the pallas paths honor want_energy."""
         cfg, geom, pot = self.cfg, self.geom, self.pot
         e_dtype = cfg.jax_energy_dtype
-        chunk = cfg.box_chunk
+        chunk = cfg.resolved_box_chunk
 
         use_pallas = cfg.method == "cta_cell" and not cfg.lj_interpolation
         use_half = cfg.half_shell and not use_pallas and not cfg.lj_interpolation

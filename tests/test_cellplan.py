@@ -43,14 +43,15 @@ class TestPlanChoices:
         assert p.boundary_margin == pytest.approx(0.25 * LAT, abs=1e-9)
         assert p.skin == pytest.approx(1.5 * LAT - 4.95)
 
-    def test_eam_exact_pack_beats_k3(self):
-        # nx=12 admits both k=3 and k=4; the v5e-calibrated cost model
-        # picks the k=4 exact pack (cell = 2 whole unit cells, occupancy
-        # exactly 32 = capacity; measured 42 vs 55 ns/atom on v5e)
+    def test_eam_k3_beats_exact_pack(self):
+        # nx=12 admits both k=3 and k=4; since the round-3 dense slice
+        # sweep recovered most of the A<32 per-slot-pair penalty (1.25x at
+        # chunk=1024), the v5e-calibrated cost model picks k=3 (half the
+        # candidate slots; measured 36.5 vs 42.3 ns/atom on v5e)
         p = plan(12, 4.95)
         assert p.mode == "commensurate"
-        np.testing.assert_allclose(p.cell_size, 2.0 * LAT)
-        assert p.t0_max_occ == 32 and p.max_atoms == 32
+        np.testing.assert_allclose(p.cell_size, 1.5 * LAT)
+        assert p.t0_max_occ == 14 and p.max_atoms == 16
 
     def test_eam_k4_exact_pack(self):
         # 2n = 40 not divisible by 3 -> k=4: cell = 2*lat, exactly 32/cell
@@ -81,10 +82,11 @@ class TestPlanChoices:
         assert p.max_atoms == 48
 
     def test_sharded_divisibility(self):
-        # 2*12/2 = 12 per shard: k in {3,4,6} all divide; exact-pack k=4
+        # 2*12/2 = 12 per shard: k in {3,4,6} all divide; the cost model
+        # picks k=3 (dense slice sweep, see test_eam_k3_beats_exact_pack)
         p = plan(12, 4.95, procs=(2, 2, 2))
         assert p.mode == "commensurate"
-        np.testing.assert_allclose(p.cell_size, 2.0 * LAT)
+        np.testing.assert_allclose(p.cell_size, 1.5 * LAT)
 
     def test_commensurate_infeasible_raises(self):
         # procs=7 does not divide 2*12=24

@@ -1,4 +1,4 @@
-"""Transposed dense stencil sweep (sweep_impl='dense_t') vs the gather sweep.
+"""Dense stencil sweeps (sweep_impl='dense'/'dense_t') vs the gather sweep.
 
 Same physics, different data layout (cells on lanes; round-3 bandwidth
 optimization for A<32 capacities).  Forces/energies must agree to fp
@@ -21,14 +21,15 @@ def run(sweep_impl, **kw):
     return s
 
 
+@pytest.mark.parametrize("impl", ["dense_t", "dense"])
 @pytest.mark.parametrize("kw", [
     dict(doeam=False),
     dict(doeam=True),
     dict(doeam=True, pot_type="setfl", pot_name="Cu01.eam.alloy"),
 ])
-def test_dense_t_matches_gather(kw):
+def test_dense_matches_gather(impl, kw):
     a = run("gather", **kw)
-    b = run("dense_t", **kw)
+    b = run(impl, **kw)
     assert b.sum_atoms() == a.sum_atoms()
     assert b.e_potential == pytest.approx(a.e_potential, rel=1e-12)
     assert b.kinetic_energy() == pytest.approx(a.kinetic_energy(), rel=1e-12)
@@ -36,28 +37,35 @@ def test_dense_t_matches_gather(kw):
         np.asarray(b.state.r), np.asarray(a.state.r), atol=1e-9)
 
 
-def test_dense_t_k3_capacity16():
+@pytest.mark.parametrize("impl", ["dense_t", "dense"])
+def test_dense_k3_capacity16(impl):
     """The target config: k=3 commensurate cells, A=16 (nx=9 forces k=3)."""
     a = run("gather", doeam=True, nx=9, ny=9, nz=9)
-    b = run("dense_t", doeam=True, nx=9, ny=9, nz=9)
+    b = run(impl, doeam=True, nx=9, ny=9, nz=9)
     assert a.cfg.max_atoms == 16
     assert b.e_potential == pytest.approx(a.e_potential, rel=1e-12)
 
 
 def test_auto_resolution():
-    c16 = Config(max_atoms=16).resolved_sweep_impl
-    c32 = Config(max_atoms=32).resolved_sweep_impl
-    assert c16 == "dense_t" and c32 == "gather"
+    c16 = Config(max_atoms=16)
+    c32 = Config(max_atoms=32)
+    assert c16.resolved_sweep_impl == "dense"
+    assert c32.resolved_sweep_impl == "gather"
+    # chunk auto follows the sweep choice; explicit values pass through
+    assert c16.resolved_box_chunk == 1024
+    assert c32.resolved_box_chunk == 256
+    assert Config(max_atoms=16, box_chunk=64).resolved_box_chunk == 64
 
 
-def test_dense_t_sharded_matches_serial():
+@pytest.mark.parametrize("impl", ["dense_t", "dense"])
+def test_dense_sharded_matches_serial(impl):
     import jax
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
-    # nx=9/px=3: per-shard m=6, k=3 -> A=16, the dense_t auto target
-    s1 = run("dense_t", doeam=True, nx=9, ny=9, nz=9)
+    # nx=9/px=3: per-shard m=6, k=3 -> A=16, the dense auto target
+    s1 = run(impl, doeam=True, nx=9, ny=9, nz=9)
     cfg8 = Config(nx=9, ny=9, nz=9, n_steps=10, dtype="float64",
-                  sweep_impl="dense_t", doeam=True,
+                  sweep_impl=impl, doeam=True,
                   xproc=3, yproc=1, zproc=1)
     s8 = sim_mod.init_simulation(cfg8)
     assert s8.cfg.max_atoms == 16

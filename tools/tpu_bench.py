@@ -31,7 +31,7 @@ def main():
         print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
 
     import os
-    chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))   # 0 = auto by sweep impl
     max_atoms = int(os.environ.get("BENCH_MAXATOMS", 0))   # 0 = auto
     cell_mode = os.environ.get("BENCH_CELLMODE", "auto")
     dtype = os.environ.get("BENCH_DTYPE", "float32")
