@@ -114,12 +114,15 @@ class Config:
                                 # row gather, j slots on lanes), "dense"
                                 # (same pair-tensor layout, j rows fetched
                                 # as static shifted slices of the dense 3D
-                                # cell order -- no gather), or "dense_t"
-                                # (transposed stencil: cells on lanes).
-                                # Both dense forms avoid the padded-minor-
-                                # axis gather traffic that dominates at
-                                # A<32 (round-3 measurement); "auto" picks
-                                # by capacity
+                                # cell order -- no gather), "dense_w"
+                                # (dense with the 27 views cut as STATIC
+                                # slices of one contiguous per-chunk window
+                                # fetch -- minimum per-chunk traffic), or
+                                # "dense_t" (transposed stencil: cells on
+                                # lanes).  The dense forms avoid the
+                                # padded-minor-axis gather traffic that
+                                # dominates at A<32 (round-3 measurement);
+                                # "auto" picks by capacity
     half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo
@@ -170,19 +173,26 @@ class Config:
     def resolved_sweep_impl(self) -> str:
         if self.sweep_impl != "auto":
             return self.sweep_impl
-        # measured (docs/BENCHMARKS.md round 3): the gather sweep's 27x
-        # j-fetch moves 128/A x the real data (minor-axis padding); at
-        # A=32 it hides under pair compute, below that the static
-        # shifted-slice sweep wins (and with chunk=1024 runs within ~1.25x
-        # of the A=32 per-slot-pair rate -- most of the "A<32 anomaly"
-        # was per-chunk gather/slice overhead, amortized by larger chunks)
-        return "dense" if 0 < self.max_atoms < 32 else "gather"
+        # measured (docs/BENCHMARKS.md rounds 3c-3d): per-chunk j-fetch
+        # overhead dominates the sweep outside the pair compute; the
+        # window-fetch dense sweep (ONE contiguous dynamic slice per
+        # chunk, 27 static in-window views) minimizes it and beats both
+        # the gather and the 27-dynamic-slice dense forms at A=16 AND
+        # A=32 (EAM 63^3: 30.5 vs 36.5 ms; EAM 64^3: 41.3 vs 44.4; LJ
+        # 64^3: 13.3 vs 15.0).  Capacities above 32 (e.g. 5-sigma LJ
+        # cells) are unmeasured -- keep the gather sweep there.
+        return "dense_w" if 0 < self.max_atoms <= 32 else "gather"
 
     @property
     def resolved_box_chunk(self) -> int:
         if self.box_chunk > 0:
             return self.box_chunk
-        return 1024 if self.resolved_sweep_impl == "dense" else 256
+        if self.resolved_sweep_impl in ("dense", "dense_w"):
+            # chunk=1024 amortizes per-chunk overhead at A=16; the A=32
+            # pair tensor is 4x larger per chunk and spills above 256
+            # (measured: EAM 64^3 dense_w C=512 = 82 ms vs C=256 = 41)
+            return 1024 if 0 < self.max_atoms < 32 else 256
+        return 256
 
     @property
     def resolved_interp_impl(self) -> str:

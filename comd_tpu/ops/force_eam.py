@@ -24,8 +24,7 @@ import jax.numpy as jnp
 from ..cells import CellGeometry
 from ..potentials.eam import EamPotential
 from ..potentials import tables
-from .sweep import (cell_pair_sweep, cell_pair_sweep_dense,
-                    cell_pair_sweep_dense_t)
+from .sweep import cell_pair_sweep, sweep_dispatch
 
 
 def _interp(table_dev, tab, rr):
@@ -244,8 +243,7 @@ def eam_force(
     rcut2 = pot.cutoff * pot.cutoff
     eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
     eval_f = make_f_eval(pot, dtype, interp_impl)
-    sweep = {"dense_t": cell_pair_sweep_dense_t,
-             "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
+    sweep = sweep_dispatch(sweep_impl)
 
     # ---- pass 1: pair energy, density accumulation, pair force ----
     pair1 = make_pair1(eval_phi, eval_rho, want_energy)

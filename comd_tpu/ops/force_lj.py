@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from ..cells import CellGeometry
 from ..potentials.lj import LjPotential
 from ..potentials import tables
-from .sweep import (cell_pair_sweep, cell_pair_sweep_dense,
-                    cell_pair_sweep_dense_t)
+from .sweep import cell_pair_sweep, sweep_dispatch
 
 
 def make_lj_pair_fn(pot: LjPotential, dtype, want_energy: bool = True):
@@ -54,8 +53,7 @@ def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
     """Compute (force [3, n_local, A], U [n_local, A], ePot scalar)."""
     rcut2 = pot.cutoff * pot.cutoff
     pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
-    sweep = {"dense_t": cell_pair_sweep_dense_t,
-             "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
+    sweep = sweep_dispatch(sweep_impl)
     force, scal = sweep(geom, r, pair_fn, rcut2, chunk=chunk)
     if not want_energy:
         return force, None, None

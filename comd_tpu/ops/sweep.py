@@ -56,6 +56,7 @@ def cell_pair_sweep_dense(
     scalar_j: Sequence[jnp.ndarray] = (),
     chunk: int = 256,
     want_force: bool = True,
+    fetch: str = "slices",
 ):
     """Gather-free variant of cell_pair_sweep: cells are laid out densely in
     3D so each of the 27 neighbor views is a *static shifted slice* of the
@@ -64,6 +65,16 @@ def cell_pair_sweep_dense(
     z-interior slab of the dense grid (x/y halo rows included,
     ~(X·Y)/(gx·gy) overhead; the z halo planes are j-only) and results are
     permuted back to the reference numbering.
+
+    ``fetch`` selects the per-chunk j delivery:
+
+    - ``"slices"``: 27 separate dynamic slices of the dense array (one per
+      stencil offset) -- 27·C rows of fetch traffic per chunk.
+    - ``"window"``: ONE dynamic slice of ``C + 2·pad`` contiguous rows (the
+      union of all 27 shifted views, which differ by at most ±pad), then 27
+      *static* in-window slices.  Cuts per-chunk fetch traffic ~27C/(C+2pad)
+      -- ~5.5x at the 63³ headline -- attacking the per-chunk fixed overhead
+      that is the residual A<32 cost (docs/BENCHMARKS.md round 3c).
     """
     A = r.shape[-1]
     dtype = r.dtype
@@ -91,11 +102,24 @@ def cell_pair_sweep_dense(
             [jnp.zeros((pad, A), s.dtype), sd,
              jnp.zeros((rpad, A), s.dtype)], axis=0))
 
+    W = chunk + 2 * pad               # window rows covering all 27 views
+
     def body(c0):
-        ri = jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0, chunk, axis=1)
-        rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0 + int(d),
-                                            chunk, axis=1)
-               for d in flat_offsets]
+        if fetch == "window":
+            # rp row (z0 + c0) is absolute slab row (z0 + c0 - pad); the
+            # view at stencil offset d starts at in-window row (pad + d),
+            # a STATIC index (d in [-pad, pad] -> [0, 2*pad]).
+            w = jax.lax.dynamic_slice_in_dim(rp, z0 + c0, W, axis=1)
+            ri = jax.lax.slice_in_dim(w, pad, pad + chunk, axis=1)
+            rjs = [jax.lax.slice_in_dim(w, pad + int(d),
+                                        pad + int(d) + chunk, axis=1)
+                   for d in flat_offsets]
+        else:
+            ri = jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0, chunk,
+                                              axis=1)
+            rjs = [jax.lax.dynamic_slice_in_dim(rp, pad + z0 + c0 + int(d),
+                                                chunk, axis=1)
+                   for d in flat_offsets]
         rj = jnp.concatenate(rjs, axis=-1)                 # [3, C, 27A]
         dr = ri[:, :, :, None] - rj[:, :, None, :]         # [3, C, A, 27A]
         r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
@@ -103,12 +127,20 @@ def cell_pair_sweep_dense(
         sj = []
         si = []
         for s in sp:
-            ss = [jax.lax.dynamic_slice_in_dim(s, pad + z0 + c0 + int(d),
-                                               chunk, axis=0)
-                  for d in flat_offsets]
+            if fetch == "window":
+                ws = jax.lax.dynamic_slice_in_dim(s, z0 + c0, W, axis=0)
+                ss = [jax.lax.slice_in_dim(ws, pad + int(d),
+                                           pad + int(d) + chunk, axis=0)
+                      for d in flat_offsets]
+                s_i = jax.lax.slice_in_dim(ws, pad, pad + chunk, axis=0)
+            else:
+                ss = [jax.lax.dynamic_slice_in_dim(
+                          s, pad + z0 + c0 + int(d), chunk, axis=0)
+                      for d in flat_offsets]
+                s_i = jax.lax.dynamic_slice_in_dim(
+                    s, pad + z0 + c0, chunk, axis=0)
             sj.append(jnp.concatenate(ss, axis=-1).reshape(chunk, 1, 27 * A))
-            si.append(jax.lax.dynamic_slice_in_dim(
-                s, pad + z0 + c0, chunk, axis=0)[:, :, None])
+            si.append(s_i[:, :, None])
         fcoef, scalars = pair_fn(r2, mask, sj, si)
         # one variadic reduce over j, as in cell_pair_sweep: keeps the
         # shared per-pair chains in a single fusion
@@ -250,6 +282,15 @@ def cell_pair_sweep_dense_t(
     force = out[0] if want_force else None
     scalars = out[1:] if want_force else out
     return force, scalars
+
+
+def sweep_dispatch(sweep_impl: str) -> Callable:
+    """Map a ``sweep_impl`` name to its sweep callable (shared by the LJ
+    and EAM force paths).  Unknown names fall back to the gather sweep."""
+    if sweep_impl == "dense_w":
+        return functools.partial(cell_pair_sweep_dense, fetch="window")
+    return {"dense_t": cell_pair_sweep_dense_t,
+            "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
 
 
 def is_local_dense(geom: CellGeometry) -> np.ndarray:

@@ -21,7 +21,7 @@ def run(sweep_impl, **kw):
     return s
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w"])
 @pytest.mark.parametrize("kw", [
     dict(doeam=False),
     dict(doeam=True),
@@ -37,7 +37,7 @@ def test_dense_matches_gather(impl, kw):
         np.asarray(b.state.r), np.asarray(a.state.r), atol=1e-9)
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w"])
 def test_dense_k3_capacity16(impl):
     """The target config: k=3 commensurate cells, A=16 (nx=9 forces k=3)."""
     a = run("gather", doeam=True, nx=9, ny=9, nz=9)
@@ -49,15 +49,19 @@ def test_dense_k3_capacity16(impl):
 def test_auto_resolution():
     c16 = Config(max_atoms=16)
     c32 = Config(max_atoms=32)
-    assert c16.resolved_sweep_impl == "dense"
-    assert c32.resolved_sweep_impl == "gather"
-    # chunk auto follows the sweep choice; explicit values pass through
+    c256 = Config(max_atoms=256)
+    assert c16.resolved_sweep_impl == "dense_w"
+    assert c32.resolved_sweep_impl == "dense_w"
+    assert c256.resolved_sweep_impl == "gather"
+    # chunk auto follows sweep choice AND capacity (A=32 spills at C>256);
+    # explicit values pass through
     assert c16.resolved_box_chunk == 1024
     assert c32.resolved_box_chunk == 256
+    assert Config(max_atoms=32, sweep_impl="dense").resolved_box_chunk == 256
     assert Config(max_atoms=16, box_chunk=64).resolved_box_chunk == 64
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w"])
 def test_dense_sharded_matches_serial(impl):
     import jax
     if len(jax.devices()) < 8:
