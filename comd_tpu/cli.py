@@ -81,6 +81,17 @@ def build_parser() -> argparse.ArgumentParser:
       help="dynamics precision (energies always f64-accumulated)")
     a("--boxChunk", type=int, default=0,
       help="cells per force-sweep chunk (0 = auto by sweep impl)")
+    a("--sweepImpl", default="auto",
+      choices=["auto", "gather", "dense", "dense_w", "dense_wf", "dense_t"],
+      help="cell-sweep formulation (auto = measured-best by capacity; "
+           "see config.Config.sweep_impl)")
+    a("--interpImpl", default="auto",
+      choices=["auto", "cheb", "twolevel", "rows"],
+      help="EAM table evaluator (auto = cheb for f32, twolevel for f64)")
+    a("--commImpl", default="collective",
+      choices=["collective", "ki", "ki_fused"],
+      help="halo transport: XLA collectives or the Pallas RDMA "
+           "kernel-initiated analog (comm_ki)")
     a("--halfShell", action="store_true",
       help="Newton's-3rd-law pair-once sweeps (the reference half-list "
            "kernels; with -m cta_cell, the Pallas dual-delivery kernel)")
@@ -127,6 +138,8 @@ def config_from_args(args) -> Config:
         lj_cutoff_factor=args.ljCutoffFactor,
         max_atoms=args.maxAtoms, cell_mode=args.cellMode,
         dtype=args.dtype, box_chunk=args.boxChunk,
+        sweep_impl=args.sweepImpl, interp_impl=args.interpImpl,
+        comm_impl=args.commImpl,
         half_shell=args.halfShell, energy_every_step=args.energyEveryStep,
     )
 

@@ -75,6 +75,12 @@ def cell_pair_sweep_dense(
       *static* in-window slices.  Cuts per-chunk fetch traffic ~27C/(C+2pad)
       -- ~5.5x at the 63³ headline -- attacking the per-chunk fixed overhead
       that is the residual A<32 cost (docs/BENCHMARKS.md round 3c).
+    - ``"window_flat"``: as window, but the dense array is kept FLAT
+      ([3, L·A]) in HBM and the window is one [3, W·A] lane-contiguous
+      slice reshaped to [3, W, A] in VMEM.  A [*, A] minor axis is
+      physically lane-padded A→128 on TPU, so the padded window moves
+      128/A× the real bytes; the flat form removes that 8x (A=16) tax
+      from the fetch entirely.
     """
     A = r.shape[-1]
     dtype = r.dtype
@@ -103,9 +109,19 @@ def cell_pair_sweep_dense(
              jnp.zeros((rpad, A), s.dtype)], axis=0))
 
     W = chunk + 2 * pad               # window rows covering all 27 views
+    if fetch == "window_flat":
+        rp_f = rp.reshape(3, -1)
+        sp_f = [s.reshape(-1) for s in sp]
 
     def body(c0):
-        if fetch == "window":
+        if fetch == "window_flat":
+            w = jax.lax.dynamic_slice_in_dim(
+                rp_f, (z0 + c0) * A, W * A, axis=1).reshape(3, W, A)
+            ri = jax.lax.slice_in_dim(w, pad, pad + chunk, axis=1)
+            rjs = [jax.lax.slice_in_dim(w, pad + int(d),
+                                        pad + int(d) + chunk, axis=1)
+                   for d in flat_offsets]
+        elif fetch == "window":
             # rp row (z0 + c0) is absolute slab row (z0 + c0 - pad); the
             # view at stencil offset d starts at in-window row (pad + d),
             # a STATIC index (d in [-pad, pad] -> [0, 2*pad]).
@@ -126,8 +142,15 @@ def cell_pair_sweep_dense(
         mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
         sj = []
         si = []
-        for s in sp:
-            if fetch == "window":
+        for k, s in enumerate(sp):
+            if fetch == "window_flat":
+                ws = jax.lax.dynamic_slice_in_dim(
+                    sp_f[k], (z0 + c0) * A, W * A).reshape(W, A)
+                ss = [jax.lax.slice_in_dim(ws, pad + int(d),
+                                           pad + int(d) + chunk, axis=0)
+                      for d in flat_offsets]
+                s_i = jax.lax.slice_in_dim(ws, pad, pad + chunk, axis=0)
+            elif fetch == "window":
                 ws = jax.lax.dynamic_slice_in_dim(s, z0 + c0, W, axis=0)
                 ss = [jax.lax.slice_in_dim(ws, pad + int(d),
                                            pad + int(d) + chunk, axis=0)
@@ -289,6 +312,8 @@ def sweep_dispatch(sweep_impl: str) -> Callable:
     and EAM force paths).  Unknown names fall back to the gather sweep."""
     if sweep_impl == "dense_w":
         return functools.partial(cell_pair_sweep_dense, fetch="window")
+    if sweep_impl == "dense_wf":
+        return functools.partial(cell_pair_sweep_dense, fetch="window_flat")
     return {"dense_t": cell_pair_sweep_dense_t,
             "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
 

@@ -94,3 +94,19 @@ def test_cli_overflow_aborts_with_clear_error():
     assert "capacity" in text and "max_atoms" in text
     assert "Fatal Error" in text
     assert "Traceback" not in text
+
+
+def test_cli_impl_flags_map_to_config():
+    """--sweepImpl/--interpImpl/--commImpl flow into Config verbatim."""
+    from comd_tpu.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["--sweepImpl", "dense_wf", "--interpImpl", "twolevel",
+         "--commImpl", "ki"])
+    cfg = config_from_args(args)
+    assert cfg.sweep_impl == "dense_wf"
+    assert cfg.resolved_sweep_impl == "dense_wf"
+    assert cfg.interp_impl == "twolevel"
+    assert cfg.comm_impl == "ki"
+    # defaults stay auto/collective
+    d = config_from_args(build_parser().parse_args([]))
+    assert d.sweep_impl == "auto" and d.comm_impl == "collective"
