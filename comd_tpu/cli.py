@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("--boxChunk", type=int, default=0,
       help="cells per force-sweep chunk (0 = auto by sweep impl)")
     a("--sweepImpl", default="auto",
-      choices=["auto", "gather", "dense", "dense_w", "dense_wf", "dense_t"],
+      choices=["auto", "gather", "dense", "dense_w", "dense_wf", "dense_f", "dense_t"],
       help="cell-sweep formulation (auto = measured-best by capacity; "
            "see config.Config.sweep_impl)")
     a("--interpImpl", default="auto",

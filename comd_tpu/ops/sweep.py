@@ -57,6 +57,7 @@ def cell_pair_sweep_dense(
     chunk: int = 256,
     want_force: bool = True,
     fetch: str = "slices",
+    flat_out: bool = False,
 ):
     """Gather-free variant of cell_pair_sweep: cells are laid out densely in
     3D so each of the 27 neighbor views is a *static shifted slice* of the
@@ -81,6 +82,11 @@ def cell_pair_sweep_dense(
       physically lane-padded A→128 on TPU, so the padded window moves
       128/A× the real bytes; the flat form removes that 8x (A=16) tax
       from the fetch entirely.
+
+    ``flat_out=True`` applies the same idea to the chunk RESULTS: the body
+    returns [3, C·A]/[C·A] lane-flat blocks, so the lax.map-stacked
+    intermediate is written and re-read unpadded (one relayout at the end
+    restores [.., A]-minor for the caller).
     """
     A = r.shape[-1]
     dtype = r.dtype
@@ -178,9 +184,11 @@ def cell_pair_sweep_dense(
         outs = []
         i = 0
         if want_force:
-            outs.append(jnp.stack(red[:3]))
+            f = jnp.stack(red[:3])
+            outs.append(f.reshape(3, chunk * A) if flat_out else f)
             i = 3
-        outs.extend(red[i:])
+        outs.extend(x.reshape(chunk * A) if flat_out else x
+                    for x in red[i:])
         return tuple(outs)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
@@ -314,6 +322,9 @@ def sweep_dispatch(sweep_impl: str) -> Callable:
         return functools.partial(cell_pair_sweep_dense, fetch="window")
     if sweep_impl == "dense_wf":
         return functools.partial(cell_pair_sweep_dense, fetch="window_flat")
+    if sweep_impl == "dense_f":
+        return functools.partial(cell_pair_sweep_dense, fetch="window_flat",
+                                 flat_out=True)
     return {"dense_t": cell_pair_sweep_dense_t,
             "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
 
