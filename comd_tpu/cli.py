@@ -206,6 +206,13 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
     if analyze:
         analyze_input(sim, out=out)
 
+    if cfg.comm_impl != "collective" and \
+            cfg.xproc * cfg.yproc * cfg.zproc == 1:
+        print(f"# WARNING: --commImpl {cfg.comm_impl} selects a halo "
+              "TRANSPORT and only applies to multi-device runs (-i/-j/-k); "
+              "this serial run has no halo exchange to transport.",
+              file=out)
+
     import jax
     if jax.default_backend() == "tpu" and cfg.doeam and (
             cfg.spline or cfg.resolved_interp_impl == "rows"):

@@ -117,12 +117,17 @@ class Config:
                                 # cell order -- no gather), "dense_w"
                                 # (dense with the 27 views cut as STATIC
                                 # slices of one contiguous per-chunk window
-                                # fetch -- minimum per-chunk traffic), or
-                                # "dense_t" (transposed stencil: cells on
-                                # lanes).  The dense forms avoid the
-                                # padded-minor-axis gather traffic that
-                                # dominates at A<32 (round-3 measurement);
-                                # "auto" picks by capacity
+                                # fetch -- minimum per-chunk traffic),
+                                # "dense_wf" (window kept lane-FLAT
+                                # [3, L*A] in HBM, reshaped in VMEM --
+                                # removes the A->128 lane-padding tax,
+                                # 128/A x bytes, from the fetch),
+                                # "dense_f" (dense_wf + lane-flat chunk
+                                # outputs), or "dense_t" (transposed
+                                # stencil: cells on lanes).  The dense
+                                # forms avoid the padded-minor-axis gather
+                                # traffic that dominates at A<32 (round-3
+                                # measurement); "auto" picks by capacity
     half_shell: bool = False    # cell sweeps: evaluate each pair once
                                 # (Newton's 3rd law) and deliver the j side
                                 # by overlap-added shifted slices + a halo
@@ -187,7 +192,8 @@ class Config:
     def resolved_box_chunk(self) -> int:
         if self.box_chunk > 0:
             return self.box_chunk
-        if self.resolved_sweep_impl in ("dense", "dense_w"):
+        if self.resolved_sweep_impl in ("dense", "dense_w",
+                                        "dense_wf", "dense_f"):
             # chunk=1024 amortizes per-chunk overhead at A=16; the A=32
             # pair tensor is 4x larger per chunk and spills above 256
             # (measured: EAM 64^3 dense_w C=512 = 82 ms vs C=256 = 41)

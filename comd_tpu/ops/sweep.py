@@ -317,16 +317,21 @@ def cell_pair_sweep_dense_t(
 
 def sweep_dispatch(sweep_impl: str) -> Callable:
     """Map a ``sweep_impl`` name to its sweep callable (shared by the LJ
-    and EAM force paths).  Unknown names fall back to the gather sweep."""
-    if sweep_impl == "dense_w":
-        return functools.partial(cell_pair_sweep_dense, fetch="window")
-    if sweep_impl == "dense_wf":
-        return functools.partial(cell_pair_sweep_dense, fetch="window_flat")
-    if sweep_impl == "dense_f":
-        return functools.partial(cell_pair_sweep_dense, fetch="window_flat",
-                                 flat_out=True)
-    return {"dense_t": cell_pair_sweep_dense_t,
-            "dense": cell_pair_sweep_dense}.get(sweep_impl, cell_pair_sweep)
+    and EAM force paths)."""
+    table = {
+        "gather": cell_pair_sweep,
+        "dense": cell_pair_sweep_dense,
+        "dense_w": functools.partial(cell_pair_sweep_dense, fetch="window"),
+        "dense_wf": functools.partial(cell_pair_sweep_dense,
+                                      fetch="window_flat"),
+        "dense_f": functools.partial(cell_pair_sweep_dense,
+                                     fetch="window_flat", flat_out=True),
+        "dense_t": cell_pair_sweep_dense_t,
+    }
+    if sweep_impl not in table:
+        raise ValueError(f"unknown sweep_impl {sweep_impl!r}; "
+                         f"choose one of {sorted(table)} or 'auto'")
+    return table[sweep_impl]
 
 
 def is_local_dense(geom: CellGeometry) -> np.ndarray:

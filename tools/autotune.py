@@ -11,8 +11,9 @@ Timing uses the marginal method (long minus short scan block) because
 relay-attached devices cannot be trusted for one-off timings (see
 tools/tpu_bench.py).
 
-Usage:
-    python tools/autotune.py <nx> <lj|eam> [--steps N] [--quick]
+Usage (gate TPU runs -- one TPU process at a time, see CLAUDE.md):
+    ./tools/tpu_gate.sh python tools/autotune.py <nx> <lj|eam> \
+        [--steps N] [--quick]
 
 Environment: BENCH_DTYPE / BENCH_MAXATOMS / BENCH_CELLMODE as in
 tools/tpu_bench.py.
@@ -27,12 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from comd_tpu import Config  # noqa: E402
 from comd_tpu.sim import init_simulation  # noqa: E402
 
-SWEEPS = ["gather", "dense", "dense_w", "dense_wf"]
+SWEEPS = ["gather", "dense", "dense_w", "dense_wf", "dense_f"]
 
 
 def candidates(quick: bool):
     chunks = [256, 1024] if quick else [256, 512, 1024, 2048]
-    for impl in (["gather", "dense_w", "dense_wf"] if quick else SWEEPS):
+    for impl in (["gather", "dense_w", "dense_f"] if quick else SWEEPS):
         for chunk in chunks:
             # the gather form's 27 dynamic row-gathers grow with C and
             # spill VMEM well before the slice forms do (round 3c)
@@ -101,6 +102,10 @@ def main():
             print(f"{impl:<10} C={chunk:<5} FAILED ({type(e).__name__})",
                   flush=True)
             continue
+        if not (per_step < float("inf")):  # both marginals corrupted
+            print(f"{impl:<10} C={chunk:<5} UNMEASURABLE (relay noise; "
+                  f"re-run)", flush=True)
+            continue
         results.append((per_step, impl, chunk))
         print(f"{impl:<10} C={chunk:<5} {per_step*1e3:9.2f} ms/step "
               f"({n/per_step:.3e} atom-steps/s)  [{time.time()-t0:.0f}s]",
@@ -114,7 +119,9 @@ def main():
     print(f"\n# BEST: sweep_impl={impl} box_chunk={chunk} "
           f"-> {best*1e3:.2f} ms/step ({n/best:.3e} atom-steps/s)")
     print(f"# CLI:  --sweepImpl {impl} --boxChunk {chunk}")
-    auto = Config(**base)
+    # the auto-policy comparison must see the RESOLVED capacity (the
+    # candidates run with auto max_atoms, resolved to A by plan_cells)
+    auto = Config(**{**base, "max_atoms": A})
     print(f"# auto policy would pick: sweep_impl={auto.resolved_sweep_impl} "
           f"box_chunk={auto.resolved_box_chunk}"
           + ("  (MATCHES)" if (auto.resolved_sweep_impl == impl
