@@ -75,3 +75,15 @@ def test_dense_sharded_matches_serial(impl):
     assert s8.cfg.max_atoms == 16
     s8.step_block(10)
     assert s8.e_potential == pytest.approx(s1.e_potential, abs=1e-8)
+
+
+@pytest.mark.parametrize("impl", ["dense_w", "dense_f"])
+def test_dense_noncubic_grid(impl):
+    """Window arithmetic (pad = XY+X+1 from a non-square slab) on an
+    anisotropic grid: gx != gy != gz exercises asymmetric dense strides."""
+    a = run("gather", doeam=True, nx=10, ny=8, nz=6)
+    b = run(impl, doeam=True, nx=10, ny=8, nz=6)
+    assert b.sum_atoms() == a.sum_atoms()
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(b.state.r), np.asarray(a.state.r), atol=1e-9)
