@@ -8,6 +8,14 @@ atoms/us/chip, BASELINE.md) on ~1M-atom EAM Cu.  For context the reference's
 recorded 16-GPU 2016 cluster runs reached 1.16e8 atom-steps/s total
 (115.96 atoms/us, errors_sync_version/.../out16_80_3.txt).
 
+Robustness contract (round-4 hardening): the PARENT process never imports
+jax, so a wedged TPU relay cannot hang it.  Every device-touching step runs
+in a child process group with a hard timeout (killpg on expiry), the whole
+benchmark observes a total wall-clock budget (BENCH_BUDGET_S, default 1200s),
+and the JSON line is ALWAYS printed -- the failure form carries a diagnostic.
+All progress logging is line-buffered to stderr so a timeout still leaves a
+readable tail.
+
 Timing method: the TPU relay in this environment makes one-off timings
 unreliable (see CLAUDE.md), so the rate comes from the difference between a
 long and a short scan block (fixed overheads cancel).  The benchmark walks a
@@ -18,27 +26,22 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
+
+NORTH_STAR = 1.0e8
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_healthy(max_tries=10):
-    import jax
-    import jax.numpy as jnp
-    for i in range(max_tries):
-        try:
-            x = jnp.ones((128, 128))
-            assert float((x @ x)[0, 0]) == 128.0
-            return True
-        except Exception as e:
-            log(f"[bench] TPU unhealthy ({type(e).__name__}), retry {i}...")
-            time.sleep(30)
-    return False
-
+# --------------------------------------------------------------------------
+# Child mode: the only code path that imports jax / touches the device.
+# --------------------------------------------------------------------------
 
 def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
             chunk: int, block: int = 10):
@@ -48,19 +51,24 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
     pots = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pots")
     # max_atoms=0 + cell_mode auto: lattice-commensurate cells with
     # auto-sized capacity.  The 63^3 EAM headline picks cell = 1.5 unit
-    # cells (k=3, A=16, 42^3 grid) and the static shifted-slice sweep at
-    # chunk=1024 -- the measured-best round-3 config (36.5 ms/step; the
-    # k=4 exact-pack 64^3 alternative is 44.4).  63 (not 64) because the
-    # k=3 commensurate sizing needs n_cells divisible by 1.5.
+    # cells (k=3, A=16, 42^3 grid) and the window-fetch dense sweep at
+    # chunk=1024 -- the measured-best round-3 config (30.5 ms/step).
+    # 63 (not 64) because the k=3 commensurate sizing needs n_cells
+    # divisible by 1.5.
     cfg = Config(nx=n_cells, ny=n_cells, nz=n_cells, doeam=doeam,
                  temperature=600.0, dtype=dtype, max_atoms=0,
                  cell_mode=os.environ.get("BENCH_CELLMODE", "auto"),
                  box_chunk=chunk, pot_dir=pots)
+    if os.environ.get("BENCH_SWEEPIMPL"):
+        cfg.sweep_impl = os.environ["BENCH_SWEEPIMPL"]
+    if os.environ.get("BENCH_HALFSHELL"):
+        cfg.half_shell = os.environ["BENCH_HALFSHELL"] == "1"
     t0 = time.time()
     sim = init_simulation(cfg)
     log(f"[bench] init {n_cells}^3 {'EAM' if doeam else 'LJ'} "
         f"atoms={sim.n_global} cells={sim.cfg.cell_mode} "
-        f"A={sim.cfg.max_atoms} in {time.time()-t0:.1f}s")
+        f"A={sim.cfg.max_atoms} sweep={sim.cfg.resolved_sweep_impl} "
+        f"in {time.time()-t0:.1f}s")
 
     # `short`/`long` count printRate-sized blocks of `block` steps, so the
     # energy-reporting step (once per block, the printRate cadence) is
@@ -90,51 +98,124 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
     return sim.n_global, best
 
 
+def child_main(spec_json: str) -> None:
+    """Run one measurement attempt; write the result to the spec's out file.
+
+    A SIGALRM backstop aborts the process from inside if the parent's
+    timeout machinery is somehow defeated (e.g. the parent dies first).
+    """
+    spec = json.loads(spec_json)
+    signal.signal(signal.SIGALRM,
+                  lambda *_: (log("[bench-child] SIGALRM backstop"),
+                              os._exit(3)))
+    signal.alarm(int(spec["timeout_s"]) + 30)
+    n_atoms, per_step = measure(spec["n_cells"], spec["doeam"], spec["dtype"],
+                                spec["short"], spec["long"], spec["chunk"])
+    with open(spec["out"], "w") as f:
+        json.dump({"n_atoms": n_atoms, "per_step": per_step}, f)
+
+
+# --------------------------------------------------------------------------
+# Parent mode: zero jax imports, hard timeouts, always prints the JSON line.
+# --------------------------------------------------------------------------
+
+def run_child(argv, timeout_s: float) -> int:
+    """Run argv in its own process group; SIGKILL the group on timeout."""
+    env = dict(os.environ)
+    env["PYTHONUNBUFFERED"] = "1"
+    proc = subprocess.Popen(argv, env=env, stdout=sys.stderr,
+                            start_new_session=True,
+                            cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"[bench] child timed out after {timeout_s:.0f}s, killing group")
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        return -9
+
+
+def probe_tpu(timeout_s: float = 90.0) -> bool:
+    """One trivial-matmul health probe in a killable child."""
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128,128)); "
+            "assert float((x@x)[0,0]) == 128.0; print('healthy')")
+    return run_child([sys.executable, "-c", code], timeout_s) == 0
+
+
+def emit(value: float, metric: str) -> None:
+    print(json.dumps({"metric": metric, "value": value,
+                      "unit": "atom-steps/sec/chip",
+                      "vs_baseline": value / NORTH_STAR}), flush=True)
+
+
 def main():
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1200))
+    deadline = time.monotonic() + budget
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     chunk = int(os.environ.get("BENCH_CHUNK", 0))   # 0 = auto by sweep impl
     short = int(os.environ.get("BENCH_SHORT", 2))
     long = int(os.environ.get("BENCH_LONG", 7))
     forced = os.environ.get("BENCH_CELLS")
     # The headline config is the baseline's own: 1M-atom EAM Cu
-    # (BASELINE.md north star).  The Chebyshev-in-r^2 evaluators made EAM
-    # the fastest table path; opt into LJ with BENCH_POT=lj.
+    # (BASELINE.md north star).  Opt into LJ with BENCH_POT=lj.
     want_eam = os.environ.get("BENCH_POT", "eam") == "eam"
 
     attempts = ([(int(forced), want_eam)] if forced else
                 ([(63, True), (48, True), (33, True)] if want_eam else
                  [(64, False), (48, False), (32, False)]))
 
-    n_atoms, per_step, label = None, None, None
+    failure_note = "no healthy TPU within budget"
     for n_cells, doeam in attempts:
-        if not wait_healthy():
-            continue
-        try:
-            n_atoms, per_step = measure(n_cells, doeam, dtype, short, long,
-                                        chunk)
-            label = f"{n_atoms}-atom {'EAM Cu (funcfl)' if doeam else 'LJ'}"
+        # Gate: wait for a healthy device, but never past the point where
+        # a minimal attempt could still finish (init+compile+3 runs).
+        attempt_min = 240.0
+        healthy = False
+        while time.monotonic() + attempt_min < deadline:
+            if probe_tpu(min(90.0, deadline - time.monotonic() - attempt_min)):
+                healthy = True
+                break
+            log("[bench] TPU unhealthy, retry in 20s "
+                f"({deadline - time.monotonic():.0f}s budget left)...")
+            time.sleep(20)
+        if not healthy:
             break
-        except Exception as e:
-            log(f"[bench] {n_cells}^3 failed: {type(e).__name__}: "
-                f"{str(e)[:120]}")
-            time.sleep(30)
 
-    if per_step is None:
-        print(json.dumps({"metric": "atom-steps/sec/chip (bench failed)",
-                          "value": 0.0, "unit": "atom-steps/sec/chip",
-                          "vs_baseline": 0.0}))
-        return
+        remaining = deadline - time.monotonic() - 15.0   # JSON-print margin
+        attempt_timeout = min(700.0, remaining)
+        if attempt_timeout < attempt_min:
+            failure_note = "budget exhausted before attempt"
+            break
+        out = tempfile.mktemp(suffix=".json", prefix="bench_result_")
+        spec = json.dumps({"n_cells": n_cells, "doeam": doeam, "dtype": dtype,
+                           "short": short, "long": long, "chunk": chunk,
+                           "out": out, "timeout_s": attempt_timeout})
+        log(f"[bench] attempt {n_cells}^3 {'EAM' if doeam else 'LJ'} "
+            f"(timeout {attempt_timeout:.0f}s, "
+            f"{deadline - time.monotonic():.0f}s budget left)")
+        rc = run_child([sys.executable, os.path.abspath(__file__),
+                        "--measure", spec], attempt_timeout)
+        if rc == 0 and os.path.exists(out):
+            with open(out) as f:
+                res = json.load(f)
+            os.unlink(out)
+            rate = res["n_atoms"] / res["per_step"]
+            emit(rate,
+                 f"atom-steps/sec/chip, {res['n_atoms']}-atom "
+                 f"{'EAM Cu (funcfl)' if doeam else 'LJ'}, {dtype}, "
+                 f"velocity-Verlet incl. redistribution, printRate=10 "
+                 f"energy cadence (marginal-block timing)")
+            return
+        failure_note = f"{n_cells}^3 attempt rc={rc}"
+        log(f"[bench] {failure_note}; falling back")
 
-    rate = n_atoms / per_step
-    print(json.dumps({
-        "metric": f"atom-steps/sec/chip, {label}, {dtype}, velocity-Verlet "
-                  f"incl. redistribution, printRate=10 energy cadence "
-                  f"(marginal-block timing)",
-        "value": rate,
-        "unit": "atom-steps/sec/chip",
-        "vs_baseline": rate / 1.0e8,
-    }))
+    emit(0.0, f"atom-steps/sec/chip (bench failed: {failure_note})")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
+        child_main(sys.argv[2])
+    else:
+        main()
