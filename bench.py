@@ -63,6 +63,10 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
         cfg.sweep_impl = os.environ["BENCH_SWEEPIMPL"]
     if os.environ.get("BENCH_HALFSHELL"):
         cfg.half_shell = os.environ["BENCH_HALFSHELL"] == "1"
+    if os.environ.get("BENCH_HALF_FETCH"):
+        cfg.half_fetch = os.environ["BENCH_HALF_FETCH"]
+    if os.environ.get("BENCH_HALF_MAT"):
+        cfg.half_materialize = os.environ["BENCH_HALF_MAT"] == "1"
     t0 = time.time()
     sim = init_simulation(cfg)
     log(f"[bench] init {n_cells}^3 {'EAM' if doeam else 'LJ'} "

@@ -82,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--boxChunk", type=int, default=0,
       help="cells per force-sweep chunk (0 = auto by sweep impl)")
     a("--sweepImpl", default="auto",
-      choices=["auto", "gather", "dense", "dense_w", "dense_wf", "dense_f", "dense_t"],
+      choices=["auto", "gather", "dense", "dense_w", "dense_wg", "dense_wf",
+               "dense_f", "dense_t"],
       help="cell-sweep formulation (auto = measured-best by capacity; "
            "see config.Config.sweep_impl)")
     a("--interpImpl", default="auto",
@@ -95,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--halfShell", action="store_true",
       help="Newton's-3rd-law pair-once sweeps (the reference half-list "
            "kernels; with -m cta_cell, the Pallas dual-delivery kernel)")
+    a("--halfFetch", default="slices", choices=["slices", "window"],
+      help="half-sweep j delivery: per-offset dynamic slices or one "
+           "contiguous per-chunk window (static in-window views)")
     a("--energyEveryStep", action="store_true",
       help="compute potential energy on every step instead of only at "
            "printRate boundaries (identical dynamics either way)")
@@ -140,7 +144,8 @@ def config_from_args(args) -> Config:
         dtype=args.dtype, box_chunk=args.boxChunk,
         sweep_impl=args.sweepImpl, interp_impl=args.interpImpl,
         comm_impl=args.commImpl,
-        half_shell=args.halfShell, energy_every_step=args.energyEveryStep,
+        half_shell=args.halfShell, half_fetch=args.halfFetch,
+        energy_every_step=args.energyEveryStep,
     )
 
 
@@ -151,15 +156,25 @@ HEADER = (
     "Kinetic Energy  Temperature   (us/atom)     # Atoms")
 
 
-def print_things(sim, i_step: int, elapsed: float, n_eval: int, out=sys.stdout):
-    """Per-printRate status line (printThings, CoMD.c:463-494)."""
+def print_things(sim, i_step: int, elapsed: float, n_eval: int,
+                 out=sys.stdout, timers=None):
+    """Per-printRate status line (printThings, CoMD.c:463-494).
+
+    The kinetic-energy / atom-count reductions here are the run's real
+    collective-reduction dispatches -- the commReduce timer row
+    (performanceTimers.c:55-68, parallel.c:120-185)."""
+    if timers is not None:
+        timers.start("commReduce")
     e_pot = sim.e_potential
     e_kin = sim.kinetic_energy()
+    n_sum = sim.sum_atoms()
+    if timers is not None:
+        timers.stop("commReduce")
     n = sim.n_global
     e_total = (e_pot + e_kin) / n
     temp = (e_kin / n) / (KB_EV * 1.5)
     t = i_step * sim.cfg.dt
-    us_per_atom = 1.0e6 * elapsed / (n_eval * max(sim.sum_atoms(), 1))
+    us_per_atom = 1.0e6 * elapsed / (n_eval * max(n_sum, 1))
     print(f" {i_step:6d} {t:10.2f} {e_total:18.12f} {e_pot / n:18.12f} "
           f"{e_kin / n:18.12f} {temp:12.4f} {us_per_atom:10.4f} {n:12d}",
           file=out, flush=True)
@@ -197,7 +212,7 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         sim.cfg = dataclasses.replace(sim.cfg, n_steps=cfg.n_steps,
                                       print_rate=cfg.print_rate)
     else:
-        sim = sim_mod.init_simulation(cfg)
+        sim = sim_mod.init_simulation(cfg, timers=timers)
     cfg = sim.cfg
 
     for key, val in sim.pot.describe():
@@ -212,6 +227,17 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
               "TRANSPORT and only applies to multi-device runs (-i/-j/-k); "
               "this serial run has no halo exchange to transport.",
               file=out)
+
+    if cfg.gpu_async:
+        if cfg.xproc * cfg.yproc * cfg.zproc == 1:
+            print("# WARNING: -a 1 overlaps interior force compute with the "
+                  "halo collectives and only applies to multi-device runs "
+                  "(-i/-j/-k); this serial run has no exchange to overlap.",
+                  file=out)
+        elif cfg.method == "cta_cell" or cfg.half_shell:
+            print("# WARNING: -a 1 replaces the cta_cell/half-shell sweep "
+                  "with the interior/boundary split XLA sweeps (the overlap "
+                  "needs the split formulation).", file=out)
 
     import jax
     if jax.default_backend() == "tpu" and cfg.doeam and (
@@ -228,7 +254,7 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
     timers.start("loop")
     i_step = step0
     n_end = step0 + cfg.n_steps
-    print_things(sim, i_step, 1e-9, 1, out=out)
+    print_things(sim, i_step, 1e-9, 1, out=out, timers=timers)
     while i_step < n_end:
         n_block = min(cfg.print_rate, n_end - i_step)
         timers.start("timestep")
@@ -242,7 +268,7 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
             raise RuntimeError(
                 f"cell/neighbor capacity overflow at step {i_step}: "
                 f"increase --maxAtoms (current {cfg.max_atoms})")
-        print_things(sim, i_step, dt_wall, n_block, out=out)
+        print_things(sim, i_step, dt_wall, n_block, out=out, timers=timers)
         # periodic checkpoint on interval CROSSINGS, so rates that are not
         # a multiple of printRate still fire
         if checkpoint is not None and checkpoint_rate > 0 and \

@@ -18,9 +18,13 @@ import jax.numpy as jnp
 # the names are kept for CLI compatibility and map onto {xla, pallas} x
 # {cell sweep, neighbor list}.
 METHODS = (
-    "thread_atom",     # default: cell-pair sweep (Pallas on TPU, XLA elsewhere)
+    "thread_atom",     # default: XLA cell-pair sweep, auto formulation
+                       # (window-fetch dense slices at A<=32)
     "thread_atom_nl",  # Verlet neighbor-list variant
-    "warp_atom",       # alias of thread_atom on TPU
+    "warp_atom",       # XLA cell-pair sweep pinned to the GATHER formulation
+                       # (27-way row gather, j slots on lanes -- the
+                       # warp-per-atom-walking-neighbor-rows analog); a real
+                       # tuning point: gather wins at A>32 (5-sigma LJ cells)
     "warp_atom_nl",    # alias of thread_atom_nl on TPU
     "cta_cell",        # cell-pair sweep with explicit VMEM staging (Pallas)
     "cpu_nl",          # pure-jnp reference path (the correctness oracle)
@@ -118,6 +122,10 @@ class Config:
                                 # (dense with the 27 views cut as STATIC
                                 # slices of one contiguous per-chunk window
                                 # fetch -- minimum per-chunk traffic),
+                                # "dense_wg" (window fetch with the pair
+                                # tensor cut into 128-lane j-cell groups,
+                                # G = 128//A offsets each -- the lane-pack
+                                # probe, VERDICT r3 item 2b),
                                 # "dense_wf" (window kept lane-FLAT
                                 # [3, L*A] in HBM, reshaped in VMEM --
                                 # removes the A->128 lane-padding tax,
@@ -140,6 +148,19 @@ class Config:
                                 # docs/BENCHMARKS.md), so this is a parity/
                                 # correctness path, off by default.
                                 # Ignored by *_nl, cta_cell and -a.
+    half_fetch: str = "slices"  # half-sweep j delivery: "slices" (one
+                                # dynamic slice per stencil offset, 14 per
+                                # chunk -- the round-2 formulation) or
+                                # "window" (ONE contiguous window per chunk,
+                                # offsets as static in-window views -- the
+                                # round-3d window fetch applied to the half
+                                # sweep; VERDICT r3 item 2a re-test)
+    half_materialize: bool = False  # half sweep: optimization_barrier the
+                                # per-pair products before the dual i/j
+                                # reduction, forcing ONE materialization of
+                                # the pair block instead of a remat per
+                                # reduce side (the suspected round-2
+                                # half-shell-null cause).  Measured knob.
     lazy_shell: bool = True     # cell methods: size cells cutoff+skin and
                                 # rebucket only on the skin/2 trigger instead
                                 # of every step (strictly faster than the
@@ -151,6 +172,18 @@ class Config:
                                 # only on the last step of each block --
                                 # identical dynamics, energy exact at every
                                 # reporting boundary (printRate cadence)
+    halo_msg_factor: float = 0.6  # count-packed atom halo messages: per-face
+                                # entry capacity as a fraction of the full
+                                # two-plane slot count (the reference ships
+                                # on-GPU-scanned packed sizes,
+                                # gpu_kernels.cu:684-690; static XLA shapes
+                                # make it a capped buffer + count).  The
+                                # outer local plane is the only one with
+                                # real occupancy, so ~0.5 is the worst
+                                # legitimate load (exact-pack commensurate
+                                # cells) and 0.6 leaves migrant headroom.
+                                # 0 ships full-capacity planes (round-3
+                                # behavior); overflow aborts either way.
     nl_max_neighbors: int = 0   # 0 = auto-size from density; reference fixed
                                 # MAXNEIGHBORLISTSIZE=64 (defines.h:66) only
                                 # fits the EAM cutoff, not LJ 2.5*sigma
@@ -166,6 +199,10 @@ class Config:
         if cfg.method not in METHODS:
             raise ValueError(
                 f"invalid method {cfg.method!r}; choose one of {METHODS}")
+        if cfg.half_fetch not in ("slices", "window"):
+            raise ValueError(
+                f"invalid half_fetch {cfg.half_fetch!r}; "
+                "choose 'slices' or 'window'")
         if cfg.gpu_profile:
             cfg.n_steps = 0
         return cfg
@@ -178,6 +215,10 @@ class Config:
     def resolved_sweep_impl(self) -> str:
         if self.sweep_impl != "auto":
             return self.sweep_impl
+        if self.method == "warp_atom":
+            # the -m warp_atom tuning point: pin the gather formulation
+            # (explicit --sweepImpl overrides)
+            return "gather"
         # measured (docs/BENCHMARKS.md rounds 3c-3d): per-chunk j-fetch
         # overhead dominates the sweep outside the pair compute; the
         # window-fetch dense sweep (ONE contiguous dynamic slice per
@@ -192,7 +233,7 @@ class Config:
     def resolved_box_chunk(self) -> int:
         if self.box_chunk > 0:
             return self.box_chunk
-        if self.resolved_sweep_impl in ("dense", "dense_w",
+        if self.resolved_sweep_impl in ("dense", "dense_w", "dense_wg",
                                         "dense_wf", "dense_f"):
             # chunk=1024 amortizes per-chunk overhead at A=16; the A=32
             # pair tensor is 4x larger per chunk and spills above 256

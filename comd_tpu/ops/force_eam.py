@@ -288,6 +288,8 @@ def eam_force_half(
     e_dtype=jnp.float64,
     interp_impl: str = "rows",
     want_energy: bool = True,
+    fetch: str = "slices",
+    materialize: bool = False,
 ):
     """Three-pass EAM with Newton's-3rd-law half sweeps for passes 1 and 3.
 
@@ -307,7 +309,7 @@ def eam_force_half(
 
     f1d, scal_d = cell_pair_sweep_half(
         geom, r, make_pair1(eval_phi, eval_rho, want_energy), rcut2,
-        chunk=chunk)
+        chunk=chunk, fetch=fetch, materialize=materialize)
     phi_d, rho_d = scal_d if want_energy else (None, scal_d[0])
     rhobar_l = fold(rho_d)
 
@@ -322,7 +324,7 @@ def eam_force_half(
 
     f3d, _ = cell_pair_sweep_half(
         geom, r, make_pair3(eval_rho), rcut2, chunk=chunk,
-        scalar_j=[df_embed])
+        scalar_j=[df_embed], fetch=fetch, materialize=materialize)
     # fold is linear: one halo force exchange on the summed dense passes
     return fold(f1d + f3d), u, df_embed
 
@@ -436,6 +438,79 @@ def eam_force_nl(
 
     force = nlmod.scatter_rows(nlist, f1 + f3, B, A)
     return force, e_pot, df_embed
+
+
+def eam_force_nl_split(
+    nlist,
+    pot: EamPotential,
+    r,                       # [3, B, A] post-exchange (ghosts refreshed)
+    fill_halo_scalar: Callable,
+    n_rows_interior: int,    # static: rows [0, Ri) are interior-cell atoms
+    *,
+    r_pre=None,              # pre-exchange positions for interior sweeps
+    spline: bool = False,
+    chunk: int = 2048,
+    e_dtype=jnp.float64,
+    interp_impl: str = "rows",
+    want_energy: bool = True,
+):
+    """EAM NL force with the interior/boundary row split (-a 1 on the NL
+    methods, the reference's timestep.c:257-265 / :328-351 overlap).
+
+    Requires a NeighborList built with row_split (interior rows first):
+    interior rows' entries reference only local cells, so their pass-1/3
+    sweeps read pre-exchange positions and pre-exchange dfEmbed, carrying
+    no data dependency on the position/dfEmbed collectives -- XLA is free
+    to overlap them (see eam_force_split for the cell-path analog).
+
+    Returns (force [3, B, A], ePot, dfEmbed [B, A]).
+    """
+    from . import neighborlist as nlmod
+    dtype = r.dtype
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    eval_phi, eval_rho = make_evaluators(pot, dtype, spline, interp_impl)
+    eval_f = make_f_eval(pot, dtype, interp_impl)
+    pair1 = make_pair1(eval_phi, eval_rho, want_energy)
+    pair3 = make_pair3(eval_rho)
+    r_pre = r if r_pre is None else r_pre
+    n_rows = nlist.a_list.shape[0]
+    nl_i = nlmod.slice_rows(nlist, 0, n_rows_interior)
+    nl_b = nlmod.slice_rows(nlist, n_rows_interior, n_rows)
+
+    # pass 1: interior rows on pre-exchange positions
+    f1_i, scal_i = nlmod.pair_sweep_nl(nl_i, r_pre, pair1, rcut2,
+                                       chunk=chunk)
+    f1_b, scal_b = nlmod.pair_sweep_nl(nl_b, r, pair1, rcut2, chunk=chunk)
+    phi_i, rho_i = scal_i if want_energy else (None, scal_i[0])
+    phi_b, rho_b = scal_b if want_energy else (None, scal_b[0])
+
+    # pass 2 per segment
+    femb_i, df_i = eval_f(rho_i)
+    femb_b, df_b = eval_f(rho_b)
+    if want_energy:
+        u_rows = jnp.concatenate([
+            0.5 * phi_i.astype(e_dtype) + femb_i.astype(e_dtype),
+            0.5 * phi_b.astype(e_dtype) + femb_b.astype(e_dtype)])
+        e_pot = jnp.sum(jnp.where(nlist.a_valid, u_rows, 0.0))
+    else:
+        e_pot = None
+
+    df_rows = jnp.concatenate([df_i, df_b]).astype(dtype)
+    df_local = nlmod.scatter_rows(
+        nlist, jnp.where(nlist.a_valid, df_rows, 0.0), B, A)
+
+    # pass 3 interior is independent of the dfEmbed exchange (interior
+    # rows only read local dfEmbed); boundary waits for it
+    f3_i, _ = nlmod.pair_sweep_nl(nl_i, r_pre, pair3, rcut2, chunk=chunk,
+                                  scalar_j=[df_local])
+    df_full = fill_halo_scalar(df_local)
+    f3_b, _ = nlmod.pair_sweep_nl(nl_b, r, pair3, rcut2, chunk=chunk,
+                                  scalar_j=[df_full])
+
+    f_rows = jnp.concatenate([f1_i + f3_i, f1_b + f3_b], axis=1)
+    force = nlmod.scatter_rows(nlist, f_rows, B, A)
+    return force, e_pot, df_full
 
 
 def _scatter_lists(n_local, interior, boundary, vi, vb):

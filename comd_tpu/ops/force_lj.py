@@ -65,7 +65,8 @@ def lj_force(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
 
 
 def lj_force_half(geom: CellGeometry, pot: LjPotential, r, fold, *,
-                  chunk=512, e_dtype=jnp.float64, want_energy: bool = True):
+                  chunk=512, e_dtype=jnp.float64, want_energy: bool = True,
+                  fetch: str = "slices", materialize: bool = False):
     """LJ via the Newton's-3rd-law half sweep (each pair evaluated once,
     j-side delivered by overlap-add; see sweep.cell_pair_sweep_half).
 
@@ -75,7 +76,8 @@ def lj_force_half(geom: CellGeometry, pot: LjPotential, r, fold, *,
     from .sweep import cell_pair_sweep_half
     rcut2 = pot.cutoff * pot.cutoff
     pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
-    force, scal = cell_pair_sweep_half(geom, r, pair_fn, rcut2, chunk=chunk)
+    force, scal = cell_pair_sweep_half(geom, r, pair_fn, rcut2, chunk=chunk,
+                                       fetch=fetch, materialize=materialize)
     force = fold(force)
     if not want_energy:
         return force, None, None
@@ -120,24 +122,63 @@ def lj_force_interp(geom: CellGeometry, pot: LjPotential, r, *, chunk=256,
 
 
 def lj_force_split(geom: CellGeometry, pot: LjPotential, r, interior,
-                   boundary, *, r_pre=None, chunk=256, e_dtype=jnp.float64):
+                   boundary, *, r_pre=None, chunk=256, e_dtype=jnp.float64,
+                   want_energy: bool = True):
     """LJ with the interior/boundary split: interior cells sweep
     pre-exchange positions so XLA can overlap the atom exchange with
-    interior force compute (-a capability; see force_eam.eam_force_split)."""
+    interior force compute (-a capability; see force_eam.eam_force_split).
+
+    ``want_energy=False`` keeps the energy-lazy block structure on -a 1
+    steps (parity with eam_force_split): no pair-energy chain on
+    non-reporting steps."""
     from .force_eam import _scatter_lists
     rcut2 = pot.cutoff * pot.cutoff
-    pair_fn = make_lj_pair_fn(pot, r.dtype)
+    pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
     r_pre = r if r_pre is None else r_pre
-    f_i, (u_i,) = cell_pair_sweep(geom, r_pre, pair_fn, rcut2, chunk=chunk,
+    f_i, scal_i = cell_pair_sweep(geom, r_pre, pair_fn, rcut2, chunk=chunk,
                                   boxes=interior)
-    f_b, (u_b,) = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk,
+    f_b, scal_b = cell_pair_sweep(geom, r, pair_fn, rcut2, chunk=chunk,
                                   boxes=boundary)
+    force = _scatter_lists(geom.n_local, interior, boundary, f_i, f_b)
+    if not want_energy:
+        return force, None, None
     scale = 0.5 * 4.0 * pot.epsilon
     u = _scatter_lists(geom.n_local, interior, boundary,
-                       scale * u_i.astype(e_dtype),
-                       scale * u_b.astype(e_dtype))
-    force = _scatter_lists(geom.n_local, interior, boundary, f_i, f_b)
+                       scale * scal_i[0].astype(e_dtype),
+                       scale * scal_b[0].astype(e_dtype))
     return force, u.astype(r.dtype), jnp.sum(u)
+
+
+def lj_force_nl_split(nlist, pot: LjPotential, r, n_rows_interior: int, *,
+                      r_pre=None, chunk=2048, e_dtype=jnp.float64,
+                      want_energy: bool = True):
+    """LJ NL force with the interior/boundary row split (-a 1 on the NL
+    methods): interior rows sweep pre-exchange positions so XLA can overlap
+    the ghost-position refresh with interior compute.  Requires a
+    NeighborList built with row_split (see force_eam.eam_force_nl_split).
+
+    Returns (force [3, B, A], U | None, ePot | None)."""
+    from . import neighborlist as nlmod
+    B, A = r.shape[1], r.shape[2]
+    rcut2 = pot.cutoff * pot.cutoff
+    pair_fn = make_lj_pair_fn(pot, r.dtype, want_energy)
+    r_pre = r if r_pre is None else r_pre
+    n_rows = nlist.a_list.shape[0]
+    nl_i = nlmod.slice_rows(nlist, 0, n_rows_interior)
+    nl_b = nlmod.slice_rows(nlist, n_rows_interior, n_rows)
+    f_i, scal_i = nlmod.pair_sweep_nl(nl_i, r_pre, pair_fn, rcut2,
+                                      chunk=chunk)
+    f_b, scal_b = nlmod.pair_sweep_nl(nl_b, r, pair_fn, rcut2, chunk=chunk)
+    force = nlmod.scatter_rows(nlist, jnp.concatenate([f_i, f_b], axis=1),
+                               B, A)
+    if not want_energy:
+        return force, None, None
+    u_rows = (0.5 * 4.0 * pot.epsilon) * jnp.concatenate(
+        [scal_i[0], scal_b[0]]).astype(e_dtype)
+    u_rows = jnp.where(nlist.a_valid, u_rows, 0.0)
+    e_pot = jnp.sum(u_rows)
+    u = nlmod.scatter_rows(nlist, u_rows.astype(r.dtype), B, A)
+    return force, u, e_pot
 
 
 def lj_force_nl(nlist, pot: LjPotential, r, *, chunk=2048,

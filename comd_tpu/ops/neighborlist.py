@@ -54,12 +54,64 @@ def build_atom_list(geom: CellGeometry, n_atoms, A: int, n_rows: int):
     return idx, ar < n_real, n_real
 
 
+def row_split_for(geom: CellGeometry, A: int):
+    """Static row partition for the -a 1 NL overlap: (is_boundary [n_local],
+    Ri, Rb) with interior rows first.  Rb = boundary-cell slots exactly (a
+    boundary cell holds at most A atoms, so the boundary segment can never
+    overflow); Ri covers every interior slot.  Both are padded to lane
+    multiples.  The reference's i_list/b_list split (gpu_utility.c:73-163)
+    for the NL methods (timestep.c:257-265, :328-351)."""
+    from .. import cells
+    interior, boundary = cells.boundary_lists(geom, ring=1)
+    is_boundary = np.zeros(geom.n_local, dtype=bool)
+    is_boundary[boundary] = True
+    pad = lambda n: max(128, -(-n // 128) * 128)  # noqa: E731
+    return is_boundary, pad(len(interior) * A), pad(len(boundary) * A)
+
+
+def build_atom_list_split(geom: CellGeometry, n_atoms, A: int, row_split):
+    """Compact slot ids partitioned into [interior rows (Ri)] ++
+    [boundary rows (Rb)]: interior-cell atoms' NL entries reference only
+    local cells, so their sweeps can read pre-exchange state (the -a 1
+    overlap, see sharded._force_fn_nl)."""
+    is_boundary, Ri, Rb = row_split
+    is_b = jnp.asarray(is_boundary)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (geom.n_local, A), 1)
+    valid = slot < n_atoms[:geom.n_local, None]
+    v_i = (valid & ~is_b[:, None]).reshape(-1)
+    v_b = (valid & is_b[:, None]).reshape(-1)
+    idx_i = jnp.nonzero(v_i, size=Ri, fill_value=0)[0].astype(jnp.int32)
+    idx_b = jnp.nonzero(v_b, size=Rb, fill_value=0)[0].astype(jnp.int32)
+    n_i = jnp.sum(v_i.astype(jnp.int32))
+    n_b = jnp.sum(v_b.astype(jnp.int32))
+    a_list = jnp.concatenate([idx_i, idx_b])
+    ar_i = jax.lax.broadcasted_iota(jnp.int32, (Ri, 1), 0).reshape(Ri)
+    ar_b = jax.lax.broadcasted_iota(jnp.int32, (Rb, 1), 0).reshape(Rb)
+    a_valid = jnp.concatenate([ar_i < n_i, ar_b < n_b])
+    return a_list, a_valid, n_i + n_b
+
+
+def slice_rows(nlist: NeighborList, start: int, stop: int) -> NeighborList:
+    """Static row-range view of a NeighborList (shares last_r)."""
+    return NeighborList(a_list=nlist.a_list[start:stop],
+                        a_valid=nlist.a_valid[start:stop],
+                        nl=nlist.nl[start:stop], last_r=nlist.last_r)
+
+
 def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
-          n_rows: int, chunk: int = 2048) -> tuple:
-    """Build the neighbor list.  Returns (NeighborList, overflow)."""
+          n_rows: int, chunk: int = 2048, row_split=None) -> tuple:
+    """Build the neighbor list.  Returns (NeighborList, overflow).
+
+    ``row_split`` (from row_split_for) orders rows as interior-cell atoms
+    first, boundary-cell atoms from index Ri -- the -a 1 layout."""
     B, A = r.shape[1], r.shape[2]
     r_flat = r.reshape(3, B * A)
-    a_list, a_valid, n_real = build_atom_list(geom, n_atoms, A, n_rows)
+    if row_split is not None:
+        a_list, a_valid, n_real = build_atom_list_split(
+            geom, n_atoms, A, row_split)
+        n_rows = row_split[1] + row_split[2]
+    else:
+        a_list, a_valid, n_real = build_atom_list(geom, n_atoms, A, n_rows)
 
     nbr_map = jnp.asarray(geom.nbr_map)  # [n_local, 27]
     dtype = r.dtype

@@ -119,7 +119,59 @@ def cell_pair_sweep_dense(
         rp_f = rp.reshape(3, -1)
         sp_f = [s.reshape(-1) for s in sp]
 
+    # "window_g": lane-grouped pair tensors.  The [C, A, 27A] tensor's
+    # minor axis (27A = 432 at A=16) pads physically to 512 lanes; cutting
+    # the 27 offsets into groups of G = 128//A j-cells gives [C, A, 128]
+    # blocks with zero lane pad per group (the cell_pair_sweep_half:414
+    # trick applied to the full sweep -- VERDICT r3 item 2b).  ceil(27/G)
+    # groups -> the last group still pads (27 mod G), so the total padded
+    # lanes stay 512 at A=16; measured to decide whether the per-group
+    # layout wins anyway.
+    G = max(1, 128 // A)
+    off_groups = [list(flat_offsets)[g:g + G]
+                  for g in range(0, 27, G)]
+
     def body(c0):
+        if fetch == "window_g":
+            w = jax.lax.dynamic_slice_in_dim(rp, z0 + c0, W, axis=1)
+            ri = jax.lax.slice_in_dim(w, pad, pad + chunk, axis=1)
+            ws = [jax.lax.dynamic_slice_in_dim(s, z0 + c0, W, axis=0)
+                  for s in sp]
+            si = [jax.lax.slice_in_dim(v, pad, pad + chunk, axis=0)[:, :, None]
+                  for v in ws]
+            acc = None
+            for grp in off_groups:
+                rj = jnp.concatenate(
+                    [jax.lax.slice_in_dim(w, pad + int(d),
+                                          pad + int(d) + chunk, axis=1)
+                     for d in grp], axis=-1)                # [3, C, G'A]
+                dr = ri[:, :, :, None] - rj[:, :, None, :]
+                r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+                mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
+                sjg = [jnp.concatenate(
+                    [jax.lax.slice_in_dim(v, pad + int(d),
+                                          pad + int(d) + chunk, axis=0)
+                     for d in grp], axis=-1)[:, None, :] for v in ws]
+                fcoef, scalars = pair_fn(r2, mask, sjg, si)
+                operands = []
+                if want_force:
+                    operands.extend(fcoef * dr[a] for a in range(3))
+                operands.extend(scalars)
+                zero = r2.dtype.type(0)
+                red = jax.lax.reduce(
+                    tuple(operands), (zero,) * len(operands),
+                    lambda a_, x: tuple(u + v for u, v in zip(a_, x)), (2,))
+                acc = list(red) if acc is None else \
+                    [u + v for u, v in zip(acc, red)]
+            outs = []
+            i = 0
+            if want_force:
+                f = jnp.stack(acc[:3])
+                outs.append(f.reshape(3, chunk * A) if flat_out else f)
+                i = 3
+            outs.extend(x.reshape(chunk * A) if flat_out else x
+                        for x in acc[i:])
+            return tuple(outs)
         if fetch == "window_flat":
             w = jax.lax.dynamic_slice_in_dim(
                 rp_f, (z0 + c0) * A, W * A, axis=1).reshape(3, W, A)
@@ -322,6 +374,8 @@ def sweep_dispatch(sweep_impl: str) -> Callable:
         "gather": cell_pair_sweep,
         "dense": cell_pair_sweep_dense,
         "dense_w": functools.partial(cell_pair_sweep_dense, fetch="window"),
+        "dense_wg": functools.partial(cell_pair_sweep_dense,
+                                      fetch="window_g"),
         "dense_wf": functools.partial(cell_pair_sweep_dense,
                                       fetch="window_flat"),
         "dense_f": functools.partial(cell_pair_sweep_dense,
@@ -351,6 +405,8 @@ def cell_pair_sweep_half(
     scalar_j: Sequence[jnp.ndarray] = (),
     chunk: int = 512,
     want_force: bool = True,
+    fetch: str = "slices",
+    materialize: bool = False,
 ):
     """Newton's-3rd-law half sweep: every unordered pair evaluated ONCE.
 
@@ -373,6 +429,20 @@ def cell_pair_sweep_half(
     ``pair_fn`` has the cell_pair_sweep contract; its scalar outputs are
     delivered symmetrically to BOTH sides (phi, rho are symmetric), its
     fcoef to i as +fcoef*dr and to j as -fcoef*dr.
+
+    ``fetch`` selects the per-chunk j delivery (see cell_pair_sweep_dense):
+    ``"slices"`` issues one dynamic slice per stencil offset (14 per
+    chunk); ``"window"`` fetches ONE contiguous ``C + pad`` row window per
+    chunk and cuts every view (i rows + all 14 offsets) as static in-window
+    slices -- the round-3d window-fetch optimization applied to the half
+    sweep.
+
+    ``materialize=True`` routes the per-pair products through an
+    optimization barrier before the dual reduction, forcing XLA to
+    materialize the pair block once instead of (potentially)
+    rematerializing the whole per-pair chain for each reduce side -- the
+    suspected cause of the round-2 half-shell null (docs/BENCHMARKS.md).
+    Measured knob, not an auto default.
 
     Returns (force [3, n_total, A] | None, [scalars [n_total, A]...]),
     dense contributions on ALL rows (halo rows pending fold).
@@ -419,9 +489,19 @@ def cell_pair_sweep_half(
         return jnp.concatenate(cols, axis=-1)             # [A, G'*A]
 
     def body(c0):
-        ri = jax.lax.dynamic_slice_in_dim(rp, c0, C, axis=1)   # [3, C, A]
+        if fetch == "window":
+            # ONE contiguous fetch covering the i rows and all 14 views
+            # (offsets d in [0, pad]); every view is then a static slice.
+            w = jax.lax.dynamic_slice_in_dim(rp, c0, JW, axis=1)
+            ws = [jax.lax.dynamic_slice_in_dim(s, c0, JW, axis=0)
+                  for s in sp]
+            ri = jax.lax.slice_in_dim(w, 0, C, axis=1)     # [3, C, A]
+            si = [jax.lax.slice_in_dim(v, 0, C, axis=0) for v in ws]
+        else:
+            ri = jax.lax.dynamic_slice_in_dim(rp, c0, C, axis=1)
+            si = [jax.lax.dynamic_slice_in_dim(s, c0, C, axis=0)
+                  for s in sp]
         ivc = jax.lax.dynamic_slice_in_dim(iv_dev, c0, C)      # [C]
-        si = [jax.lax.dynamic_slice_in_dim(s, c0, C, axis=0) for s in sp]
         si_args = [v[:, :, None] for v in si]
 
         jbuf_f = jnp.zeros((3, JW, A), dtype) if want_force else None
@@ -430,17 +510,25 @@ def cell_pair_sweep_half(
         jbuf_s = None
 
         for group in groups:
-            rj = jnp.concatenate(
-                [jax.lax.dynamic_slice_in_dim(rp, c0 + d, C, axis=1)
-                 for d in group], axis=-1)                 # [3, C, G'A]
+            if fetch == "window":
+                rj = jnp.concatenate(
+                    [jax.lax.slice_in_dim(w, d, d + C, axis=1)
+                     for d in group], axis=-1)             # [3, C, G'A]
+                sj_args = [jnp.concatenate(
+                    [jax.lax.slice_in_dim(v, d, d + C, axis=0)
+                     for d in group], axis=-1)[:, None, :] for v in ws]
+            else:
+                rj = jnp.concatenate(
+                    [jax.lax.dynamic_slice_in_dim(rp, c0 + d, C, axis=1)
+                     for d in group], axis=-1)             # [3, C, G'A]
+                sj_args = [jnp.concatenate(
+                    [jax.lax.dynamic_slice_in_dim(s, c0 + d, C, axis=0)
+                     for d in group], axis=-1)[:, None, :] for s in sp]
             dr = ri[:, :, :, None] - rj[:, :, None, :]     # [3, C, A, G'A]
             r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
             r2 = jnp.where(ivc[:, None, None], r2, BIG)
             r2 = jnp.where(group_allowed(group)[None], r2, BIG)
             mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
-            sj_args = [jnp.concatenate(
-                [jax.lax.dynamic_slice_in_dim(s, c0 + d, C, axis=0)
-                 for d in group], axis=-1)[:, None, :] for s in sp]
             fcoef, scalars = pair_fn(r2, mask, sj_args, si_args)
 
             # one variadic reduce per delivery side: all outputs (force
@@ -451,6 +539,8 @@ def cell_pair_sweep_half(
             if want_force:
                 prods.extend(fcoef * dr[a] for a in range(3))
             prods.extend(scalars)
+            if materialize:
+                prods = list(jax.lax.optimization_barrier(tuple(prods)))
             zero = dtype.type(0)
             add = lambda acc, x: tuple(a + b for a, b in zip(acc, x))  # noqa: E731
             red_i = jax.lax.reduce(tuple(prods), (zero,) * len(prods),

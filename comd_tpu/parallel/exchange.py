@@ -76,9 +76,17 @@ class ExchangePlan:
     force_recv: tuple
     axis_names: tuple[str, str, str]
     local_extent: np.ndarray  # [3]
+    # count-packed atom messages: per-axis entry capacity (0 = ship the
+    # full-capacity cell planes).  The reference computes send sizes
+    # on-device and ships only packed real atoms (gpu_kernels.cu:684-690,
+    # haloExchange.c:491-496); message sizes must be static under XLA, so
+    # the dynamic size becomes a capped packed buffer + count + overflow
+    # flag, like cells.
+    atom_cap: tuple = (0, 0, 0)
 
 
-def make_plan(geom: CellGeometry, axis_names=("x", "y", "z")) -> ExchangePlan:
+def make_plan(geom: CellGeometry, axis_names=("x", "y", "z"), *,
+              msg_factor: float = 0.0, max_atoms: int = 0) -> ExchangePlan:
     g = geom.grid
     full = {a: (-1, g[a]) for a in range(3)}
     local = {a: (0, g[a] - 1) for a in range(3)}
@@ -105,13 +113,44 @@ def make_plan(geom: CellGeometry, axis_names=("x", "y", "z")) -> ExchangePlan:
         force_send.append((send_minus, send_plus))
         force_recv.append((recv_minus, recv_plus))
 
+    # packed-message capacities: the two send planes per face average ~50%
+    # slot occupancy (the outer local plane carries the real atoms, the
+    # halo plane only migrants), so factor*nmsg*A bounds the real entries
+    # with headroom; overflow aborts like a cell overflow.
+    atom_cap = (0, 0, 0)
+    if msg_factor > 0:
+        if max_atoms <= 0:
+            raise ValueError("msg_factor > 0 requires max_atoms")
+        atom_cap = tuple(
+            max(256, -(-int(msg_factor * len(atom_send[a][0]) * max_atoms)
+                       // 128) * 128)
+            for a in range(3))
+
     return ExchangePlan(
         atom_send=tuple(atom_send),
         force_send=tuple(force_send),
         force_recv=tuple(force_recv),
         axis_names=tuple(axis_names),
         local_extent=(geom.local_max - geom.local_min),
+        atom_cap=atom_cap,
     )
+
+
+def atom_msg_bytes(plan: ExchangePlan, A: int, itemsize: int) -> dict:
+    """Static per-step atom-exchange traffic accounting: bytes shipped per
+    shard over the 6 faces, full-capacity planes vs count-packed buffers
+    (the measurement VERDICT r3 item 4 asks to record; the reference's
+    analog is the on-GPU size scan, gpu_kernels.cu:684-690)."""
+    full = packed = 0
+    for axis in range(3):
+        nmsg = len(plan.atom_send[axis][0])
+        # r+p (6 coords x itemsize) + gid (4) per slot entry; counts ~0
+        per_entry = 6 * itemsize + 4
+        full += 2 * (nmsg * A * per_entry + nmsg * 4)
+        cap = plan.atom_cap[axis] or nmsg * A
+        packed += 2 * (cap * per_entry + 4)
+    return {"full_bytes": full, "packed_bytes": packed,
+            "ratio": full / max(packed, 1)}
 
 
 def _shift_perms(axis_name: str):
@@ -140,28 +179,55 @@ def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
         name = plan.axis_names[axis]
         to_minus, to_plus = _shift_perms(name)
         ext = dtype.type(plan.local_extent[axis])
+        cap = plan.atom_cap[axis]
 
         minus_ids, plus_ids = plan.atom_send[axis]
         bufs = []
         for ids in (minus_ids, plus_ids):
             ids_j = jnp.asarray(ids)
-            bufs.append((r[:, ids_j], p[:, ids_j], gid[ids_j],
-                         n_atoms[ids_j]))
+            if cap:
+                # count-packed message: compact the real atoms of the two
+                # send planes into a [cap] buffer + count (the on-device
+                # size scan + packed AtomMsg of the reference,
+                # gpu_kernels.cu:684-690; overflow aborts like a cell
+                # overflow).  append_arrivals re-sorts by (box, gid), so
+                # packing order cannot change the trajectory.
+                nmsg = len(ids)
+                slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
+                valid = (slot < n_atoms[ids_j][:, None]).reshape(-1)
+                count = jnp.sum(valid.astype(jnp.int32))
+                overflow |= count > cap
+                sel = jnp.nonzero(valid, size=cap, fill_value=0)[0]
+                rp6 = jnp.concatenate(
+                    [r[:, ids_j].reshape(3, -1),
+                     p[:, ids_j].reshape(3, -1)], axis=0)[:, sel]
+                bufs.append((rp6, gid[ids_j].reshape(-1)[sel], count))
+            else:
+                bufs.append((r[:, ids_j], p[:, ids_j], gid[ids_j],
+                             n_atoms[ids_j]))
         # pack both directions before any unload (reference per-axis order)
         recv_from_plus = jax.tree.map(
             lambda x: jax.lax.ppermute(x, name, to_minus), bufs[0])
         recv_from_minus = jax.tree.map(
             lambda x: jax.lax.ppermute(x, name, to_plus), bufs[1])
 
-        for (br, bp, bg, bn), shift in (
-                (recv_from_minus, -ext), (recv_from_plus, +ext)):
-            nmsg = bg.shape[0]
-            slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
-            valid = (slot < bn[:, None]).reshape(-1)
-            arr_r = br.reshape(3, -1)
-            arr_r = arr_r.at[axis].add(shift)
-            arr_p = bp.reshape(3, -1)
-            arr_g = bg.reshape(-1)
+        for buf, shift in ((recv_from_minus, -ext), (recv_from_plus, +ext)):
+            if cap:
+                b6, bg, bc = buf
+                valid = jax.lax.broadcasted_iota(
+                    jnp.int32, (cap, 1), 0).reshape(cap) < bc
+                arr_r = b6[:3].at[axis].add(shift)
+                arr_p = b6[3:]
+                arr_g = bg
+            else:
+                br, bp, bg, bn = buf
+                nmsg = bg.shape[0]
+                slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
+                valid = (slot < bn[:, None]).reshape(-1)
+                arr_r = br.reshape(3, -1)
+                arr_r = arr_r.at[axis].add(shift)
+                arr_p = bp.reshape(3, -1)
+                arr_g = bg.reshape(-1)
             r, p, gid, n_atoms, ovf = binning.append_arrivals(
                 geom, r, p, gid, n_atoms, arr_r, arr_p, arr_g, valid)
             overflow |= ovf

@@ -159,7 +159,8 @@ class ShardedSimulation:
                         geom, pot, r, fill, fold, spline=cfg.spline,
                         chunk=chunk, e_dtype=e_dtype,
                         interp_impl=cfg.resolved_interp_impl,
-                        want_energy=want_energy)
+                        want_energy=want_energy, fetch=cfg.half_fetch,
+                        materialize=cfg.half_materialize)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
@@ -196,11 +197,13 @@ class ShardedSimulation:
                 elif use_async:
                     f_loc, _u, e_pot = force_lj.lj_force_split(
                         geom, pot, r, interior, boundary, r_pre=r_pre,
-                        chunk=chunk, e_dtype=e_dtype)
+                        chunk=chunk, e_dtype=e_dtype,
+                        want_energy=want_energy)
                 elif use_half:
                     f_loc, _u, e_pot = force_lj.lj_force_half(
                         geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype,
-                        want_energy=want_energy)
+                        want_energy=want_energy, fetch=cfg.half_fetch,
+                        materialize=cfg.half_materialize)
                 elif cfg.lj_interpolation:
                     f_loc, _u, e_pot = lj_fn(geom, pot, r, chunk=chunk,
                                              e_dtype=e_dtype)
@@ -327,27 +330,47 @@ class ShardedSimulation:
             density = self.n_global / float(np.prod(self.global_extent))
             mean_nbrs = density * 4.0 / 3.0 * np.pi * rcut_nl ** 3
             k = int(-(-1.4 * mean_nbrs // 32) * 32)
+        # -a 1: rows ordered [interior (Ri)] ++ [boundary (Rb)] so the
+        # interior sweeps can read pre-exchange state (timestep.c:257-265)
+        row_split = (nlmod.row_split_for(self.geom, cfg.max_atoms)
+                     if cfg.gpu_async else None)
         return dict(k=k, rcut2=rcut_nl ** 2, n_rows=n_rows,
-                    chunk=cfg.nl_chunk)
+                    chunk=cfg.nl_chunk, row_split=row_split)
 
     def _force_fn_nl(self, want_energy: bool = True):
         cfg, pot, geom, plan = self.cfg, self.pot, self.geom, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.nl_chunk
+        use_async = bool(cfg.gpu_async)
+        if use_async:
+            _, Ri, _Rb = nlmod.row_split_for(geom, cfg.max_atoms)
 
         if isinstance(pot, EamPotential):
-            def force(nlist, r, n_atoms):
+            def force(nlist, r, n_atoms, r_pre=None):
                 fill = functools.partial(exchange.exchange_scalar, plan, geom)
-                f_full, e_pot, _dfe = force_eam.eam_force_nl(
-                    nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
-                    e_dtype=e_dtype, interp_impl=cfg.resolved_interp_impl,
-                    want_energy=want_energy)
+                if use_async:
+                    f_full, e_pot, _dfe = force_eam.eam_force_nl_split(
+                        nlist, pot, r, fill, Ri, r_pre=r_pre,
+                        spline=cfg.spline, chunk=chunk, e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
+                else:
+                    f_full, e_pot, _dfe = force_eam.eam_force_nl(
+                        nlist, pot, r, fill, spline=cfg.spline, chunk=chunk,
+                        e_dtype=e_dtype,
+                        interp_impl=cfg.resolved_interp_impl,
+                        want_energy=want_energy)
                 return f_full, e_pot
         else:
-            def force(nlist, r, n_atoms):
-                f_full, _u, e_pot = force_lj.lj_force_nl(
-                    nlist, pot, r, chunk=chunk, e_dtype=e_dtype,
-                    want_energy=want_energy)
+            def force(nlist, r, n_atoms, r_pre=None):
+                if use_async:
+                    f_full, _u, e_pot = force_lj.lj_force_nl_split(
+                        nlist, pot, r, Ri, r_pre=r_pre, chunk=chunk,
+                        e_dtype=e_dtype, want_energy=want_energy)
+                else:
+                    f_full, _u, e_pot = force_lj.lj_force_nl(
+                        nlist, pot, r, chunk=chunk, e_dtype=e_dtype,
+                        want_energy=want_energy)
                 return f_full, e_pot
         return force
 
@@ -362,6 +385,8 @@ class ShardedSimulation:
         n_local_boxes = geom.n_local
         axes = ("x", "y", "z")
 
+        use_async = bool(cfg.gpu_async)
+
         def rebuild(args):
             r, p, gid, n_atoms, _nl = args
             r, p, gid, n_atoms, _nm, ovf = binning.rebucket(
@@ -369,12 +394,16 @@ class ShardedSimulation:
             r, p, gid, n_atoms, ovf2 = xatoms(r, p, gid, n_atoms)
             r, p, gid = binning.sort_cells(r, p, gid)
             nl, ovf3 = nlmod.build(geom, r, n_atoms, **params)
-            return r, p, gid, n_atoms, nl, ovf | ovf2 | ovf3
+            # r_pre = r: rebuild steps (migration possible) give up the
+            # -a overlap to stay exact, like the lazy cell path
+            return r, p, gid, n_atoms, nl, r, ovf | ovf2 | ovf3
 
         def refresh(args):
             r, p, gid, n_atoms, nl = args
-            r = exchange.exchange_positions(plan, geom, r)
-            return r, p, gid, n_atoms, nl, jnp.zeros((), jnp.bool_)
+            r2 = exchange.exchange_positions(plan, geom, r)
+            # r_pre = pre-exchange r: local cells identical, so interior
+            # sweeps reading it carry no dependency on the collective
+            return r2, p, gid, n_atoms, nl, r, jnp.zeros((), jnp.bool_)
 
         def step(c: NLSimState, _):
             s, nl = c.sim, c.nlist
@@ -384,10 +413,10 @@ class ShardedSimulation:
             # neighborList.c:236-243)
             dirty_local = nlmod.needs_rebuild(nl, r, n_local_boxes, skin)
             dirty = jax.lax.psum(dirty_local.astype(jnp.int32), axes) > 0
-            r, p, gid, n_atoms, nl, ovf = jax.lax.cond(
+            r, p, gid, n_atoms, nl, r_pre, ovf = jax.lax.cond(
                 dirty, rebuild, refresh, (r, p, s.gid, s.n_atoms, nl))
             ovf = jax.lax.psum(ovf.astype(jnp.int32), axes) > 0
-            f, e_pot = force(nl, r, n_atoms)
+            f, e_pot = force(nl, r, n_atoms, r_pre if use_async else None)
             f = f.astype(s.f.dtype)
             p = p + p.dtype.type(0.5 * dt) * f
             e_pot = (s.e_potential if e_pot is None
@@ -656,7 +685,8 @@ def _owned_coords(mesh: Mesh):
             if mesh.devices[idx].process_index == pidx]
 
 
-def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
+def init_sharded_simulation(cfg: Config, devices=None,
+                            timers=None) -> ShardedSimulation:
     """Sharded initSimulation: decompose, generate per shard, assemble.
 
     Multi-host capable (the reference's N-rank MPI launch, parallel.c:66-118,
@@ -704,7 +734,8 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
         cfg, pot, lat, r_local, (cfg.nx, cfg.ny, cfg.nz),
         (cfg.xproc, cfg.yproc, cfg.zproc), np.zeros(3), local_extent,
         n_atoms_total=n_global, stat_reduce=stat_reduce)
-    plan = exchange.make_plan(geom)
+    plan = exchange.make_plan(geom, msg_factor=cfg.halo_msg_factor,
+                              max_atoms=cfg.max_atoms)
 
     # momenta: global (vcm, scale) from the gid-seeded streams, applied to
     # the local subsets (bitwise equal to the serial setTemperature)
@@ -754,10 +785,17 @@ def init_sharded_simulation(cfg: Config, devices=None) -> ShardedSimulation:
         lattice_const=lat, skin_eff=cplan.skin)
 
     # initial ghost fill: run the exchange once (atoms are freshly binned)
-    sim.state = sim._wrap(_initial_exchange_fn(sim))(sim.state)
+    from ..sim import _tscope
+    with _tscope(timers, "redistribute"), _tscope(timers, "atomHalo"):
+        sim.state = jax.block_until_ready(
+            sim._wrap(_initial_exchange_fn(sim))(sim.state))
     if sim.uses_nl:
-        sim.build_neighbor_list()
-    sim.compute_force()
+        with _tscope(timers, "neighborList"):
+            sim.build_neighbor_list()
+            jax.block_until_ready(sim.nlist)
+    with _tscope(timers, "force"):
+        sim.compute_force()
+        sim.state.f.block_until_ready()
     return sim
 
 

@@ -141,7 +141,8 @@ class Simulation:
                         geom, pot, r, fill, fold, spline=cfg.spline,
                         chunk=chunk, e_dtype=e_dtype,
                         interp_impl=cfg.resolved_interp_impl,
-                        want_energy=want_energy)
+                        want_energy=want_energy, fetch=cfg.half_fetch,
+                        materialize=cfg.half_materialize)
                 else:
                     f_loc, u_raw, _dfe = force_eam.eam_force(
                         geom, pot, r, fill, spline=cfg.spline, chunk=chunk,
@@ -171,9 +172,10 @@ class Simulation:
                                         want_energy=want_energy)
         elif use_half:
             def force(r, n_atoms):
-                return force_lj.lj_force_half(geom, pot, r, fold,
-                                              chunk=chunk, e_dtype=e_dtype,
-                                              want_energy=want_energy)
+                return force_lj.lj_force_half(
+                    geom, pot, r, fold, chunk=chunk, e_dtype=e_dtype,
+                    want_energy=want_energy, fetch=cfg.half_fetch,
+                    materialize=cfg.half_materialize)
         elif cfg.lj_interpolation:
             def force(r, n_atoms):
                 return force_lj.lj_force_interp(geom, pot, r, chunk=chunk,
@@ -488,15 +490,29 @@ def init_potential(cfg: Config):
     return init_lj_pot(cfg.lj_cutoff_factor)
 
 
-def init_simulation(cfg: Config):
+def _tscope(timers, name: str):
+    """Timer scope when ``timers`` is given, else a no-op (the init-phase
+    dispatches are the reference's initSimulation timer fills)."""
+    import contextlib
+    return timers.scope(name) if timers is not None else \
+        contextlib.nullcontext()
+
+
+def init_simulation(cfg: Config, timers=None):
     """Build the initial state (initSimulation, CoMD.c:200-327).
 
     With -i/-j/-k > 1 this dispatches to the mesh-sharded implementation
-    (spatial domain decomposition over devices, the reference's MPI grid)."""
+    (spatial domain decomposition over devices, the reference's MPI grid).
+
+    ``timers`` (utils.timers.PerfTimers) times the separately-dispatched
+    init phases -- initial redistribute/halo, NL build, first force -- the
+    real dispatches behind the reference's redistribute/neighborList/force
+    timer rows (CoMD.c:303-318).  In-loop phases fuse into one XLA program
+    per block; per-phase attribution there needs -s (utils.profile)."""
     cfg = cfg.resolve()
     if cfg.nprocs > 1:
         from .parallel.sharded import init_sharded_simulation
-        return init_sharded_simulation(cfg)
+        return init_sharded_simulation(cfg, timers=timers)
     pot = init_potential(cfg)
 
     lat = cfg.lat if cfg.lat > 0 else pot.lat
@@ -520,10 +536,15 @@ def init_simulation(cfg: Config):
                      state=state, lattice_const=lat, skin_eff=plan.skin)
 
     # fill halo + (NL build) + first force (CoMD.c:303-318)
-    sim.state = _initial_halo(sim)
+    with _tscope(timers, "redistribute"), _tscope(timers, "atomHalo"):
+        sim.state = jax.block_until_ready(_initial_halo(sim))
     if sim.uses_nl:
-        sim.build_neighbor_list()
-    sim.compute_force()
+        with _tscope(timers, "neighborList"):
+            sim.build_neighbor_list()
+            jax.block_until_ready(sim.nlist)
+    with _tscope(timers, "force"):
+        sim.compute_force()
+        sim.state.f.block_until_ready()
     return sim
 
 

@@ -91,6 +91,12 @@ class PerfTimers:
             lines.append(
                 f"{disp:<16}{t.count:>10}{t.total / t.count:>15.4f}"
                 f"{t.total:>12.4f}{100.0 * t.total / loop:>8.2f}")
+        if self.timers["velocity"].count == 0:
+            lines.append(
+                "# in-loop phases (velocity/position/redistribute/force) "
+                "fuse into one XLA program per block by design; run -s for "
+                "marginal-timing per-phase attribution.  Rows above time "
+                "the init dispatches and the per-block reductions.")
         ts = self.timers["timestep"]
         if ts.total > 0 and n_steps > 0 and n_global_atoms > 0:
             us_per_atom = 1.0e6 * ts.total / (n_steps * n_global_atoms)

@@ -27,6 +27,20 @@ def test_cli_lj_run():
     assert "Average atom rate" in out.stdout
 
 
+def test_cli_timer_report_has_real_rows():
+    """A plain run's timer report must carry nonzero rows beyond
+    total/loop/timestep: the init dispatches (redistribute/atomHalo/force)
+    and the per-block reductions (commReduce) are real, separately
+    dispatched work (the reference fills these rows every run,
+    performanceTimers.c:127-194)."""
+    out = run_cli("-x", "4", "-y", "4", "-z", "4", "-N", "4", "-n", "2",
+                  "--maxAtoms", "48", "--boxChunk", "16")
+    assert out.returncode == 0, out.stderr[-2000:]
+    for row in ("redistribute", "atomHalo", "force", "commReduce"):
+        m = re.search(rf"^\s*{row}\s+(\d+)\s", out.stdout, re.M)
+        assert m and int(m.group(1)) > 0, f"timer row {row} missing/zero"
+
+
 def test_cli_yaml_report(tmp_path):
     out = run_cli("-x", "4", "-y", "4", "-z", "4", "-N", "2", "-n", "2",
                   "--maxAtoms", "48", "--boxChunk", "16",
@@ -60,7 +74,7 @@ def test_graft_dryrun_multichip():
     out = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
-        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=420)
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
 

@@ -43,6 +43,28 @@ def test_half_matches_full_sharded(doeam):
     assert half.e_potential == pytest.approx(full.e_potential, abs=1e-9)
 
 
+@pytest.mark.parametrize("doeam", [False, True])
+@pytest.mark.parametrize("materialize", [False, True])
+def test_half_window_fetch_matches_slices(doeam, materialize):
+    """The window-fetch half sweep (ONE contiguous per-chunk window, all 14
+    stencil views as static in-window slices -- the round-3d window fetch
+    applied to the half sweep) must be BITWISE identical to the per-offset
+    dynamic-slice formulation: same pair set, same reduction order, only
+    the fetch addressing changes.  Same for the optimization_barrier
+    materialize knob (scheduling, not math)."""
+    a = init_simulation(base(half_shell=True, doeam=doeam))
+    b = init_simulation(base(half_shell=True, doeam=doeam,
+                             half_fetch="window",
+                             half_materialize=materialize))
+    assert b.e_potential == a.e_potential  # bitwise
+    np.testing.assert_array_equal(np.asarray(b.state.f),
+                                  np.asarray(a.state.f))
+    a.step_block(6)
+    b.step_block(6)
+    assert b.sum_atoms() == b.n_global
+    assert b.e_potential == a.e_potential  # bitwise
+
+
 def test_half_shell_momentum_conserved():
     """Antisymmetric pair delivery must conserve total momentum exactly
     (up to fp) -- a direct check of the i/j force split + fold."""

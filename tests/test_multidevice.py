@@ -86,6 +86,24 @@ def test_nl_sharded_matches_serial():
         serial.kinetic_energy(), abs=1e-8)
 
 
+def test_packed_halo_matches_full():
+    """Count-packed atom halo messages (round-4): compacting the two send
+    planes to a capped entry buffer + count must be BITWISE identical to
+    shipping the full-capacity planes -- append_arrivals re-sorts arrivals
+    by (box, gid), so packing order cannot leak into the trajectory.
+    Eager stepping exchanges every step, exercising the pack maximally.
+    Reference: on-GPU size scan, gpu_kernels.cu:684-690."""
+    kw = dict(doeam=True, xproc=2, yproc=2, zproc=2, lazy_shell=False)
+    full = init_simulation(base_cfg(halo_msg_factor=0.0, **kw))
+    packed = init_simulation(base_cfg(halo_msg_factor=0.6, **kw))
+    assert packed.e_potential == full.e_potential  # bitwise
+    full.step_block(12)
+    packed.step_block(12)
+    assert packed.sum_atoms() == full.n_global
+    assert not bool(np.any(packed.state.overflow))
+    assert packed.e_potential == full.e_potential  # bitwise
+
+
 def test_async_overlap_matches_sync():
     """-a 1 (interior/boundary split with overlap-enabling structure) must be
     bitwise identical to the sync path: the split changes scheduling freedom,
@@ -98,6 +116,27 @@ def test_async_overlap_matches_sync():
     async_.step_block(8)
     assert async_.sum_atoms() == sync.n_global
     assert async_.e_potential == sync.e_potential  # bitwise
+
+
+@pytest.mark.parametrize("doeam", [False, True])
+def test_async_nl_matches_sync(doeam):
+    """-a 1 on the NL methods (round-4): the interior/boundary ROW split
+    (rows ordered interior-first at build, interior sweeps reading
+    pre-exchange positions/dfEmbed) changes scheduling freedom, not math --
+    the trajectory must match the sync NL path to fp-reordering tolerance
+    across rebuild steps (which give up overlap like the lazy path).
+    Reference: timestep.c:257-265, :328-351."""
+    kw = dict(doeam=doeam, method="thread_atom_nl",
+              xproc=2, yproc=2, zproc=2)
+    sync = init_simulation(base_cfg(**kw))
+    async_ = init_simulation(base_cfg(gpu_async=1, **kw))
+    assert async_.e_potential == pytest.approx(sync.e_potential, abs=1e-9)
+    sync.step_block(30)
+    async_.step_block(30)
+    assert async_.sum_atoms() == sync.n_global
+    assert async_.e_potential == pytest.approx(sync.e_potential, abs=1e-9)
+    assert async_.kinetic_energy() == pytest.approx(
+        sync.kinetic_energy(), abs=1e-9)
 
 
 def test_async_lazy_exact_across_migrations():

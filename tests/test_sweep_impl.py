@@ -21,7 +21,7 @@ def run(sweep_impl, **kw):
     return s
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wf", "dense_f"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"])
 @pytest.mark.parametrize("kw", [
     dict(doeam=False),
     dict(doeam=True),
@@ -37,7 +37,7 @@ def test_dense_matches_gather(impl, kw):
         np.asarray(b.state.r), np.asarray(a.state.r), atol=1e-9)
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wf", "dense_f"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"])
 def test_dense_k3_capacity16(impl):
     """The target config: k=3 commensurate cells, A=16 (nx=9 forces k=3)."""
     a = run("gather", doeam=True, nx=9, ny=9, nz=9)
@@ -61,7 +61,7 @@ def test_auto_resolution():
     assert Config(max_atoms=16, box_chunk=64).resolved_box_chunk == 64
 
 
-@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wf", "dense_f"])
+@pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"])
 def test_dense_sharded_matches_serial(impl):
     import jax
     if len(jax.devices()) < 8:

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from comd_tpu import Config  # noqa: E402
 from comd_tpu.sim import init_simulation  # noqa: E402
 
-SWEEPS = ["gather", "dense", "dense_w", "dense_wf", "dense_f"]
+SWEEPS = ["gather", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"]
 
 
 def candidates(quick: bool):

@@ -37,13 +37,16 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     interp = os.environ.get("BENCH_INTERP", "auto")
     half = os.environ.get("BENCH_HALF", "0") == "1"
+    half_fetch = os.environ.get("BENCH_HALF_FETCH", "slices")
+    half_mat = os.environ.get("BENCH_HALF_MAT", "0") == "1"
     hilbert = os.environ.get("BENCH_HILBERT", "0") == "1"
     sweep = os.environ.get("BENCH_SWEEP", "auto")
     pot_type = os.environ.get("BENCH_POT_TYPE", "funcfl")
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                  dtype=dtype, max_atoms=max_atoms, cell_mode=cell_mode,
                  interp_impl=interp, box_chunk=chunk, sweep_impl=sweep,
-                 half_shell=half, method=method, pot_type=pot_type,
+                 half_shell=half, half_fetch=half_fetch,
+                 half_materialize=half_mat, method=method, pot_type=pot_type,
                  do_hilbert=hilbert, pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
     log(f"init done atoms={sim.n_global} method={method} "
