@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 perf campaign (VERDICT r3 item 2): half-shell on the window
+# fetch, lane-packed dense_wg, and the queued lane-flat variants, all at
+# the EAM 63^3 headline config (auto = k=3/A=16/C=1024).  One TPU process
+# at a time behind the gate; each run logs to tools/r4_logs/.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tools/r4_logs
+GATE=tools/tpu_gate.sh
+
+run() {
+  local name=$1; shift
+  if [ -s "tools/r4_logs/$name.log" ] && grep -q BEST "tools/r4_logs/$name.log"; then
+    echo "== $name: already done"; return
+  fi
+  echo "== $name: $* $(date +%H:%M:%S)"
+  timeout 1500 env "$@" $GATE python tools/tpu_bench.py \
+    ${NX:-63} ${POT:-eam} 2 7 > "tools/r4_logs/$name.log" 2>&1
+  tail -4 "tools/r4_logs/$name.log"
+  sleep 10
+}
+
+# 1. baseline re-confirm (auto dense_w C=1024)
+run eam63_auto            BENCH_DUMMY=1
+# 2. half-shell, window fetch, chunk scan
+run eam63_half_w_c1024    BENCH_HALF=1 BENCH_HALF_FETCH=window
+run eam63_half_w_c512     BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_CHUNK=512
+run eam63_half_w_c256     BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_CHUNK=256
+# 3. + materialize barrier (the round-2 null's suspected cause)
+run eam63_half_wm_c512    BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_HALF_MAT=1 BENCH_CHUNK=512
+run eam63_half_wm_c1024   BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_HALF_MAT=1
+# 4. half-shell old slices fetch for the delta attribution
+run eam63_half_s_c512     BENCH_HALF=1 BENCH_CHUNK=512
+# 5. lane-packed window groups
+run eam63_wg_c1024        BENCH_SWEEP=dense_wg
+run eam63_wg_c512         BENCH_SWEEP=dense_wg BENCH_CHUNK=512
+# 6. queued lane-flat variants (r3e, never measured on TPU)
+run eam63_wf_c1024        BENCH_SWEEP=dense_wf
+run eam63_f_c1024         BENCH_SWEEP=dense_f
+echo "== batch done $(date +%H:%M:%S)"
