@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--halfFetch", default="slices", choices=["slices", "window"],
       help="half-sweep j delivery: per-offset dynamic slices or one "
            "contiguous per-chunk window (static in-window views)")
+    a("--haloMsgFactor", type=float, default=0.6,
+      help="count-packed atom halo messages: per-face entry capacity as a "
+           "fraction of the full two-plane slot count (0 ships full planes; "
+           "overflow aborts; see config.Config.halo_msg_factor)")
     a("--energyEveryStep", action="store_true",
       help="compute potential energy on every step instead of only at "
            "printRate boundaries (identical dynamics either way)")
@@ -145,6 +149,7 @@ def config_from_args(args) -> Config:
         sweep_impl=args.sweepImpl, interp_impl=args.interpImpl,
         comm_impl=args.commImpl,
         half_shell=args.halfShell, half_fetch=args.halfFetch,
+        halo_msg_factor=args.haloMsgFactor,
         energy_every_step=args.energyEveryStep,
     )
 

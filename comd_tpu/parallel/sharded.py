@@ -807,7 +807,11 @@ def _initial_exchange_fn(sim: ShardedSimulation):
         r, p, gid, n_atoms, ovf = xatoms(
             state.r, state.p, state.gid, state.n_atoms)
         r, p, gid = binning.sort_cells(r, p, gid)
+        # propagate the overflow flag: an undersized packed-message capacity
+        # (or cell capacity) can fire on the very first ghost fill
+        ovf = jax.lax.psum(ovf.astype(jnp.int32), ("x", "y", "z")) > 0
         return dataclasses.replace(state, r=r, p=p, gid=gid,
-                                   n_atoms=n_atoms), ()
+                                   n_atoms=n_atoms,
+                                   overflow=state.overflow | ovf), ()
 
     return fn

@@ -104,6 +104,40 @@ def test_packed_halo_matches_full():
     assert packed.e_potential == full.e_potential  # bitwise
 
 
+def test_packed_halo_overflow_flag_fires():
+    """An undersized message capacity must raise the sticky overflow flag
+    (the abort path -- like a cell-capacity overflow), not silently drop
+    atoms.  16^3 unit cells on 2x2x2 puts ~400 real atoms on each face's
+    outer plane, well above the 256-entry capacity floor that a tiny
+    halo_msg_factor clamps to."""
+    sim = init_simulation(Config(
+        nx=16, ny=16, nz=16, temperature=600.0, dtype="float32",
+        max_atoms=48, box_chunk=64, pot_dir="pots",
+        xproc=2, yproc=2, zproc=2, halo_msg_factor=1e-6))
+    assert bool(np.any(np.asarray(sim.state.overflow)))
+    # and the atoms that DID arrive are still a consistent state (no crash)
+    assert np.isfinite(sim.e_potential)
+
+
+def test_plan_msg_capacity_arithmetic():
+    """make_plan: cap = lane-rounded factor * two-plane slot count with a
+    256-entry floor; atom_msg_bytes reports full vs packed traffic."""
+    from comd_tpu.parallel import exchange
+    sim = init_simulation(base_cfg(xproc=2, yproc=2, zproc=2))
+    geom = sim.geom
+    plan = exchange.make_plan(geom, msg_factor=0.5, max_atoms=48)
+    for ax in range(3):
+        nmsg = len(plan.atom_send[ax][0])
+        cap = plan.atom_cap[ax]
+        assert cap % 128 == 0 and cap >= 256
+        assert cap >= 0.5 * nmsg * 48 - 128
+    rep = exchange.atom_msg_bytes(plan, 48, 4)
+    assert rep["full_bytes"] > rep["packed_bytes"] > 0
+    assert rep["ratio"] > 1.0
+    with pytest.raises(ValueError):
+        exchange.make_plan(geom, msg_factor=0.5, max_atoms=0)
+
+
 def test_async_overlap_matches_sync():
     """-a 1 (interior/boundary split with overlap-enabling structure) must be
     bitwise identical to the sync path: the split changes scheduling freedom,
