@@ -59,6 +59,20 @@ def test_auto_resolution():
     assert c32.resolved_box_chunk == 256
     assert Config(max_atoms=32, sweep_impl="dense").resolved_box_chunk == 256
     assert Config(max_atoms=16, box_chunk=64).resolved_box_chunk == 64
+    # -m warp_atom is the gather-pinned tuning point (explicit overrides)
+    assert Config(max_atoms=16, method="warp_atom").resolved_sweep_impl \
+        == "gather"
+    assert Config(max_atoms=16, method="warp_atom",
+                  sweep_impl="dense_w").resolved_sweep_impl == "dense_w"
+
+
+def test_warp_atom_matches_thread_atom():
+    """-m warp_atom (gather-pinned) must produce the same physics as the
+    auto thread_atom formulation."""
+    a = run("auto", doeam=True, method="thread_atom")
+    b = run("auto", doeam=True, method="warp_atom")
+    assert b.cfg.resolved_sweep_impl == "gather"
+    assert b.e_potential == pytest.approx(a.e_potential, abs=1e-9)
 
 
 @pytest.mark.parametrize("impl", ["dense_t", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"])
