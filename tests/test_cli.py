@@ -79,6 +79,24 @@ def test_graft_dryrun_multichip():
     assert "OK" in out.stdout
 
 
+def test_bench_pipeline_emits_json():
+    """The driver benchmark's whole parent->child->JSON pipeline must work:
+    probe, measurement child, rate computation, and the single JSON line on
+    stdout (round-3's lost artifacts were a harness bug, not a perf bug --
+    this guards the harness itself, on CPU with a tiny config)."""
+    env = dict(ENV, BENCH_CELLS="8", BENCH_SHORT="1", BENCH_LONG="2",
+               BENCH_BUDGET_S="500")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=REPO, env=env, timeout=540)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "atom-steps/sec/chip"
+    assert rec["value"] > 0, (rec, out.stderr[-2000:])
+    assert "bench failed" not in rec["metric"]
+
+
 def test_cli_checkpoint_restore_roundtrip(tmp_path):
     """--checkpoint writes a resumable state; --restore continues the
     trajectory (step numbering, conservation, atom count)."""

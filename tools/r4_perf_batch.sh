@@ -37,4 +37,10 @@ run eam63_wg_c512         BENCH_SWEEP=dense_wg BENCH_CHUNK=512
 # 6. queued lane-flat variants (r3e, never measured on TPU)
 run eam63_wf_c1024        BENCH_SWEEP=dense_wf
 run eam63_f_c1024         BENCH_SWEEP=dense_f
+# 7. LJ half-shell: full-shell LJ already runs 7.88e7 at 64^3; pair-once
+#    could cross the 1e8 north star on the LJ headline.
+NX=64 POT=lj run lj64_auto          BENCH_DUMMY=1
+NX=64 POT=lj run lj64_half_w_c1024  BENCH_HALF=1 BENCH_HALF_FETCH=window
+NX=64 POT=lj run lj64_half_w_c512   BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_CHUNK=512
+NX=64 POT=lj run lj64_half_wm_c512  BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_HALF_MAT=1 BENCH_CHUNK=512
 echo "== batch done $(date +%H:%M:%S)"
