@@ -8,7 +8,7 @@ exchange against interior compute.  (The reference measured this across a
 4-transport x N-rank matrix; on one chip the collectives are local copies,
 so this bounds the SCHEDULING effect, not ICI latency hiding.)
 
-Usage: ./tools/tpu_gate.sh python tools/overlap_bench.py [nx] [eam|lj]
+Usage: ./tools/tpu_gate.sh python tools/overlap_bench.py [nx] [eam|lj] [method]
 """
 import sys
 import time
@@ -43,11 +43,12 @@ def measure(cfg, short=3, long=15):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     doeam = (sys.argv[2] if len(sys.argv) > 2 else "eam") == "eam"
+    method = sys.argv[3] if len(sys.argv) > 3 else "thread_atom"
     for gpu_async in (0, 1):
         cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                      dtype="float32", max_atoms=32, box_chunk=256,
                      xproc=1, yproc=1, zproc=1, gpu_async=gpu_async,
-                     pot_dir="/root/repo/pots")
+                     method=method, pot_dir="/root/repo/pots")
         # force the sharded implementation even at 1x1x1
         from comd_tpu.parallel.sharded import init_sharded_simulation
         import jax

@@ -43,4 +43,18 @@ NX=64 POT=lj run lj64_auto          BENCH_DUMMY=1
 NX=64 POT=lj run lj64_half_w_c1024  BENCH_HALF=1 BENCH_HALF_FETCH=window
 NX=64 POT=lj run lj64_half_w_c512   BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_CHUNK=512
 NX=64 POT=lj run lj64_half_wm_c512  BENCH_HALF=1 BENCH_HALF_FETCH=window BENCH_HALF_MAT=1 BENCH_CHUNK=512
+# 8. -a 1 overlap deltas (scheduling effect on one chip): cell path and the
+#    new NL overlap path (VERDICT r3 item 3's measured-delta ask).
+for ov in "overlap32_cell thread_atom" "overlap32_nl thread_atom_nl"; do
+  set -- $ov
+  if [ -s "tools/r4_logs/$1.log" ] && grep -q "\-a 1:" "tools/r4_logs/$1.log"; then
+    echo "== $1: already done"
+  else
+    echo "== $1 $(date +%H:%M:%S)"
+    timeout 1800 $GATE python tools/overlap_bench.py 32 eam "$2" \
+      > "tools/r4_logs/$1.log" 2>&1
+    tail -3 "tools/r4_logs/$1.log"
+    sleep 10
+  fi
+done
 echo "== batch done $(date +%H:%M:%S)"
