@@ -59,14 +59,23 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
                  temperature=600.0, dtype=dtype, max_atoms=0,
                  cell_mode=os.environ.get("BENCH_CELLMODE", "auto"),
                  box_chunk=chunk, pot_dir=pots)
-    if os.environ.get("BENCH_SWEEPIMPL"):
-        cfg.sweep_impl = os.environ["BENCH_SWEEPIMPL"]
-    if os.environ.get("BENCH_HALFSHELL"):
-        cfg.half_shell = os.environ["BENCH_HALFSHELL"] == "1"
-    if os.environ.get("BENCH_HALF_FETCH"):
-        cfg.half_fetch = os.environ["BENCH_HALF_FETCH"]
-    if os.environ.get("BENCH_HALF_MAT"):
-        cfg.half_materialize = os.environ["BENCH_HALF_MAT"] == "1"
+    # Knob names match tools/tpu_bench.py's vocabulary (BENCH_SWEEP,
+    # BENCH_HALF, ...) so a campaign config transfers verbatim; the older
+    # long-form names are kept as aliases.
+    def env(*names):
+        for n in names:
+            if os.environ.get(n):
+                return os.environ[n]
+        return None
+
+    if env("BENCH_SWEEP", "BENCH_SWEEPIMPL"):
+        cfg.sweep_impl = env("BENCH_SWEEP", "BENCH_SWEEPIMPL")
+    if env("BENCH_HALF", "BENCH_HALFSHELL"):
+        cfg.half_shell = env("BENCH_HALF", "BENCH_HALFSHELL") == "1"
+    if env("BENCH_HALF_FETCH"):
+        cfg.half_fetch = env("BENCH_HALF_FETCH")
+    if env("BENCH_HALF_MAT"):
+        cfg.half_materialize = env("BENCH_HALF_MAT") == "1"
     t0 = time.time()
     sim = init_simulation(cfg)
     log(f"[bench] init {n_cells}^3 {'EAM' if doeam else 'LJ'} "
@@ -192,26 +201,31 @@ def main():
         if attempt_timeout < attempt_min:
             failure_note = "budget exhausted before attempt"
             break
-        out = tempfile.mktemp(suffix=".json", prefix="bench_result_")
-        spec = json.dumps({"n_cells": n_cells, "doeam": doeam, "dtype": dtype,
-                           "short": short, "long": long, "chunk": chunk,
-                           "out": out, "timeout_s": attempt_timeout})
-        log(f"[bench] attempt {n_cells}^3 {'EAM' if doeam else 'LJ'} "
-            f"(timeout {attempt_timeout:.0f}s, "
-            f"{deadline - time.monotonic():.0f}s budget left)")
-        rc = run_child([sys.executable, os.path.abspath(__file__),
-                        "--measure", spec], attempt_timeout)
-        if rc == 0 and os.path.exists(out):
-            with open(out) as f:
-                res = json.load(f)
-            os.unlink(out)
-            rate = res["n_atoms"] / res["per_step"]
-            emit(rate,
-                 f"atom-steps/sec/chip, {res['n_atoms']}-atom "
-                 f"{'EAM Cu (funcfl)' if doeam else 'LJ'}, {dtype}, "
-                 f"velocity-Verlet incl. redistribution, printRate=10 "
-                 f"energy cadence (marginal-block timing)")
-            return
+        fd, out = tempfile.mkstemp(suffix=".json", prefix="bench_result_")
+        os.close(fd)
+        try:
+            spec = json.dumps({"n_cells": n_cells, "doeam": doeam,
+                               "dtype": dtype, "short": short, "long": long,
+                               "chunk": chunk, "out": out,
+                               "timeout_s": attempt_timeout})
+            log(f"[bench] attempt {n_cells}^3 {'EAM' if doeam else 'LJ'} "
+                f"(timeout {attempt_timeout:.0f}s, "
+                f"{deadline - time.monotonic():.0f}s budget left)")
+            rc = run_child([sys.executable, os.path.abspath(__file__),
+                            "--measure", spec], attempt_timeout)
+            if rc == 0 and os.path.getsize(out) > 0:
+                with open(out) as f:
+                    res = json.load(f)
+                rate = res["n_atoms"] / res["per_step"]
+                emit(rate,
+                     f"atom-steps/sec/chip, {res['n_atoms']}-atom "
+                     f"{'EAM Cu (funcfl)' if doeam else 'LJ'}, {dtype}, "
+                     f"velocity-Verlet incl. redistribution, printRate=10 "
+                     f"energy cadence (marginal-block timing)")
+                return
+        finally:
+            if os.path.exists(out):
+                os.unlink(out)
         failure_note = f"{n_cells}^3 attempt rc={rc}"
         log(f"[bench] {failure_note}; falling back")
 

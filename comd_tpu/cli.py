@@ -271,8 +271,11 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
         i_step += n_block
         if bool(jnp_any(sim.state.overflow)):
             raise RuntimeError(
-                f"cell/neighbor capacity overflow at step {i_step}: "
-                f"increase --maxAtoms (current {cfg.max_atoms})")
+                f"capacity overflow at step {i_step}: a cell exceeded "
+                f"--maxAtoms (max_atoms={cfg.max_atoms}), a neighbor list "
+                f"row exceeded its K, or a packed halo message exceeded "
+                f"--haloMsgFactor (current {cfg.halo_msg_factor}; 0 ships "
+                f"full planes). Raise the matching knob and rerun.")
         print_things(sim, i_step, dt_wall, n_block, out=out, timers=timers)
         # periodic checkpoint on interval CROSSINGS, so rates that are not
         # a multiple of printRate still fire

@@ -31,9 +31,13 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running tier (trajectory comparisons, "
         "multihost subprocess clusters, conservation runs)")
+    config.addinivalue_line(
+        "markers", "fast: opt-out of the module-granular slow marking for "
+        "cheap unit tests that live in otherwise-slow modules")
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+        if (item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES
+                and item.get_closest_marker("fast") is None):
             item.add_marker(pytest.mark.slow)

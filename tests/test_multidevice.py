@@ -119,12 +119,15 @@ def test_packed_halo_overflow_flag_fires():
     assert np.isfinite(sim.e_potential)
 
 
+@pytest.mark.fast
 def test_plan_msg_capacity_arithmetic():
     """make_plan: cap = lane-rounded factor * two-plane slot count with a
-    256-entry floor; atom_msg_bytes reports full vs packed traffic."""
+    256-entry floor; atom_msg_bytes reports full vs packed traffic.
+    Pure host-side arithmetic: build the shard geometry directly (the
+    2x2x2-sharded 8^3-unit-cell domain of base_cfg) -- no sim init."""
+    from comd_tpu import cells
     from comd_tpu.parallel import exchange
-    sim = init_simulation(base_cfg(xproc=2, yproc=2, zproc=2))
-    geom = sim.geom
+    geom = cells.make_geometry([0.0] * 3, [4 * 3.615] * 3, 5.445)
     plan = exchange.make_plan(geom, msg_factor=0.5, max_atoms=48)
     for ax in range(3):
         nmsg = len(plan.atom_send[ax][0])

@@ -46,6 +46,7 @@ def test_dense_k3_capacity16(impl):
     assert b.e_potential == pytest.approx(a.e_potential, rel=1e-12)
 
 
+@pytest.mark.fast
 def test_auto_resolution():
     c16 = Config(max_atoms=16)
     c32 = Config(max_atoms=32)

@@ -1,5 +1,10 @@
 #!/bin/bash
-# Wait until the TPU answers a trivial op, then run the given command.
+# Serialize ALL TPU access behind one exclusive lock (one TPU process at a
+# time — concurrent sessions wedge the relay), wait until the TPU answers a
+# trivial op, then run the given command WHILE STILL HOLDING the lock.
+LOCK=/tmp/comd_tpu.lock
+exec 9>"$LOCK"
+flock 9
 for i in $(seq 1 20); do
   if timeout 90 python -c "
 import jax, jax.numpy as jnp
