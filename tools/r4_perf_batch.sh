@@ -57,4 +57,16 @@ for ov in "overlap32_cell thread_atom" "overlap32_nl thread_atom_nl"; do
     sleep 10
   fi
 done
+# 9. one full CLI run on the real chip for the transcript archive
+#    (docs/transcripts/): 40^3 unit cells = 256k atoms, 100 steps, the
+#    reference's validation bar (energy table, eFinal/eInitial, timers).
+if [ -s docs/transcripts/tpu_eam_40_100steps.txt ] && \
+   grep -q "no atoms lost" docs/transcripts/tpu_eam_40_100steps.txt; then
+  echo "== tpu transcript: already done"
+else
+  echo "== tpu transcript $(date +%H:%M:%S)"
+  timeout 1500 $GATE python -m comd_tpu.cli -e -x 40 -y 40 -z 40 -N 100 -n 10 \
+    > docs/transcripts/tpu_eam_40_100steps.txt 2>&1
+  tail -3 docs/transcripts/tpu_eam_40_100steps.txt
+fi
 echo "== batch done $(date +%H:%M:%S)"
