@@ -52,6 +52,18 @@ def test_bitwise_reproducible():
     assert a == b
 
 
+def test_momentum_conserved():
+    """Newton's third law through the full step machinery (27-cell sweep,
+    redistribution, PBC wraps): total momentum stays at its initial value
+    (~0 after the v_cm removal of initAtoms.c:141-160) to f64 roundoff."""
+    import jax.numpy as jnp
+    sim, _, _ = run(base_cfg(doeam=True), n_steps=40, block=20)
+    p = jnp.asarray(sim.state.p[:, :sim.geom.n_local], jnp.float64)
+    drift = float(jnp.max(jnp.abs(jnp.sum(p, axis=(1, 2)))))
+    scale = float(jnp.sum(jnp.abs(p))) / 3.0
+    assert drift < 1e-11 * scale, (drift, scale)
+
+
 def test_temperature_init_exact():
     """setTemperature rescales to the exact target (initAtoms.c:183-195)."""
     sim = init_simulation(base_cfg())
