@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--halfFetch", default="slices", choices=["slices", "window"],
       help="half-sweep j delivery: per-offset dynamic slices or one "
            "contiguous per-chunk window (static in-window views)")
+    a("--halfMaterialize", action="store_true",
+      help="half sweeps: materialize the pair block behind an optimization "
+           "barrier before the dual i/j reduction (keeps XLA from "
+           "rematerializing the pair chain once per reduce side)")
     a("--haloMsgFactor", type=float, default=0.6,
       help="count-packed atom halo messages: per-face entry capacity as a "
            "fraction of the full two-plane slot count (0 ships full planes; "
@@ -149,6 +153,7 @@ def config_from_args(args) -> Config:
         sweep_impl=args.sweepImpl, interp_impl=args.interpImpl,
         comm_impl=args.commImpl,
         half_shell=args.halfShell, half_fetch=args.halfFetch,
+        half_materialize=args.halfMaterialize,
         halo_msg_factor=args.haloMsgFactor,
         energy_every_step=args.energyEveryStep,
     )

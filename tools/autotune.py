@@ -29,6 +29,10 @@ from comd_tpu import Config  # noqa: E402
 from comd_tpu.sim import init_simulation  # noqa: E402
 
 SWEEPS = ["gather", "dense", "dense_w", "dense_wg", "dense_wf", "dense_f"]
+# pair-once half sweeps (cell_pair_sweep_half): "half_w" = window fetch,
+# "half_s" = per-offset slices, "half_wm" = window + materialize barrier
+HALF = {"half_w": ("window", False), "half_s": ("slices", False),
+        "half_wm": ("window", True)}
 
 
 def candidates(quick: bool):
@@ -40,6 +44,17 @@ def candidates(quick: bool):
             if impl == "gather" and chunk > 512:
                 continue
             yield impl, chunk
+    for impl in (["half_w"] if quick else list(HALF)):
+        for chunk in ([512, 1024] if quick else [256, 512, 1024]):
+            yield impl, chunk
+
+
+def make_cfg(base: dict, impl: str, chunk: int) -> Config:
+    if impl in HALF:
+        fetch, mat = HALF[impl]
+        return Config(**base, half_shell=True, half_fetch=fetch,
+                      half_materialize=mat, box_chunk=chunk)
+    return Config(**base, sweep_impl=impl, box_chunk=chunk)
 
 
 def time_config(cfg: Config, block: int, short: int, long: int) -> float:
@@ -94,7 +109,7 @@ def main():
 
     results = []
     for impl, chunk in candidates(args.quick):
-        cfg = Config(**base, sweep_impl=impl, box_chunk=chunk)
+        cfg = make_cfg(base, impl, chunk)
         t0 = time.time()
         try:
             per_step = time_config(cfg, args.steps, args.short, args.long)
@@ -116,9 +131,15 @@ def main():
         sys.exit(1)
     results.sort()
     best, impl, chunk = results[0]
-    print(f"\n# BEST: sweep_impl={impl} box_chunk={chunk} "
+    print(f"\n# BEST: {impl} box_chunk={chunk} "
           f"-> {best*1e3:.2f} ms/step ({n/best:.3e} atom-steps/s)")
-    print(f"# CLI:  --sweepImpl {impl} --boxChunk {chunk}")
+    if impl in HALF:
+        fetch, mat = HALF[impl]
+        print(f"# CLI:  --halfShell --halfFetch {fetch}"
+              + (" --halfMaterialize" if mat else "")
+              + f" --boxChunk {chunk}")
+    else:
+        print(f"# CLI:  --sweepImpl {impl} --boxChunk {chunk}")
     # the auto-policy comparison must see the RESOLVED capacity (the
     # candidates run with auto max_atoms, resolved to A by plan_cells)
     auto = Config(**{**base, "max_atoms": A})
