@@ -158,6 +158,31 @@ def probe_tpu(timeout_s: float = 90.0) -> bool:
     return run_child([sys.executable, "-c", code], timeout_s) == 0
 
 
+_LOCK_FD = None
+
+
+def try_tpu_lock() -> bool:
+    """Non-blocking attempt at the single-TPU-process lock that
+    tools/tpu_gate.sh holds for campaign runs (one TPU process at a time:
+    concurrent sessions wedge the relay).  Held for the rest of the
+    process once acquired; a busy lock is treated like an unhealthy TPU
+    (retry within the budget), so the JSON line still always lands."""
+    global _LOCK_FD
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True   # CPU-only run (CI): no relay contact, no lock needed
+    if _LOCK_FD is not None:
+        return True
+    import fcntl
+    fd = os.open("/tmp/comd_tpu.lock", os.O_CREAT | os.O_WRONLY, 0o666)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        return False
+    _LOCK_FD = fd
+    return True
+
+
 def emit(value: float, metric: str) -> None:
     print(json.dumps({"metric": metric, "value": value,
                       "unit": "atom-steps/sec/chip",
@@ -187,6 +212,11 @@ def main():
         attempt_min = 240.0
         healthy = False
         while time.monotonic() + attempt_min < deadline:
+            if not try_tpu_lock():
+                log("[bench] TPU lock busy (another gated run), retry in "
+                    f"20s ({deadline - time.monotonic():.0f}s budget left)")
+                time.sleep(20)
+                continue
             if probe_tpu(min(90.0, deadline - time.monotonic() - attempt_min)):
                 healthy = True
                 break

@@ -5,7 +5,9 @@
 LOCK=/tmp/comd_tpu.lock
 exec 9>"$LOCK"
 flock 9
-for i in $(seq 1 20); do
+# GATE_ATTEMPTS tunes how long the lock is held while the TPU is down
+# (probe watchers use a small value so other waiters get a turn).
+for i in $(seq 1 "${GATE_ATTEMPTS:-20}"); do
   if timeout 90 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); assert float((x@x)[0,0]) == 128.0
