@@ -97,6 +97,49 @@ def test_bench_pipeline_emits_json():
     assert "bench failed" not in rec["metric"]
 
 
+def test_bench_lock_not_starved_by_campaign(tmp_path):
+    """Round-4 failure mode: bench.py polled the TPU lock non-blocking every
+    20s while back-to-back gated campaign runs re-grabbed it first -- the
+    official perf record got 0.0.  The round-5 protocol: bench touches a
+    driver-priority flag (campaign gates yield to it) and takes a QUEUED
+    blocking flock.  Rehearse the full protocol on CPU: a campaign emulator
+    cycles hold-5s/release, honoring the flag exactly like tpu_gate.sh; bench
+    must land a real rate well inside its budget."""
+    lock = str(tmp_path / "tpu.lock")
+    prio = str(tmp_path / "driver_priority")
+    # Campaign emulator: same yield-then-flock protocol as tools/tpu_gate.sh,
+    # cycling forever until killed.
+    emulator = f"""
+while true; do
+  while [ -e "{prio}" ]; do sleep 0.5; done
+  ( flock 9; sleep 5 ) 9>"{lock}"
+  sleep 0.2
+done
+"""
+    camp = subprocess.Popen(["bash", "-c", emulator],
+                            start_new_session=True)
+    try:
+        import time
+        time.sleep(1.0)   # let the emulator grab the lock first
+        env = dict(ENV, BENCH_CELLS="8", BENCH_SHORT="1", BENCH_LONG="2",
+                   BENCH_BUDGET_S="500", BENCH_FORCE_LOCK="1",
+                   BENCH_LOCK_PATH=lock, BENCH_PRIORITY_PATH=prio)
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            cwd=REPO, env=env, timeout=540)
+        assert out.returncode == 0, out.stderr[-2000:]
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["value"] > 0, (rec, out.stderr[-2000:])
+        assert "bench failed" not in rec["metric"]
+        assert "TPU lock acquired" in out.stderr
+        # bench must clean up its priority flag so campaigns resume
+        assert not os.path.exists(prio)
+    finally:
+        import signal as _sig
+        os.killpg(camp.pid, _sig.SIGKILL)
+        camp.wait()
+
+
 def test_cli_checkpoint_restore_roundtrip(tmp_path):
     """--checkpoint writes a resumable state; --restore continues the
     trajectory (step numbering, conservation, atom count)."""
