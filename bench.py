@@ -274,7 +274,10 @@ def main():
             break
 
         remaining = deadline - time.monotonic() - 15.0   # JSON-print margin
-        attempt_timeout = min(700.0, remaining)
+        # 900s cap: a cold-cache 63^3 EAM init+compile measured 714s through
+        # the relay (tools/r4_logs/eam63_auto.log); 700s would kill the
+        # headline attempt and fall back to a smaller problem for nothing.
+        attempt_timeout = min(900.0, remaining)
         if attempt_timeout < attempt_min:
             failure_note = "budget exhausted before attempt"
             break

@@ -1,6 +1,6 @@
-"""Collect the round-4 campaign logs into one table.
+"""Collect the campaign logs (round-4 or -5: pass the log dir) into one table.
 
-Parses tools/r4_logs/*.log (tpu_bench BEST lines, overlap_bench -a lines)
+Parses the given log dir/*.log (tpu_bench BEST lines, overlap_bench -a lines)
 and prints a markdown table sorted by ms/step, ready for BENCHMARKS.md.
 """
 import glob
@@ -8,7 +8,8 @@ import os
 import re
 import sys
 
-LOGDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "r4_logs")
+LOGDIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "r5_logs")
 
 
 def main():
