@@ -43,6 +43,32 @@ run eam63_a14_c1536   BENCH_MAXATOMS=14 BENCH_CHUNK=1536
 run eam63_auto_c512   BENCH_CHUNK=512
 run eam63_auto_c1536  BENCH_CHUNK=1536
 
+# Pre-registered rule: A=14 adopted only if >10% faster than auto
+# (30.44 ms -> needs <27.4) AND a 63^3 1000-step 600K run conserves with
+# zero overflow.  Fire the conservation run only when the speed half won.
+a14=$(grep -oP 'BEST\s+\K[\d.]+' tools/r5_logs/eam63_a14.log 2>/dev/null | head -1)
+a14c=$(grep -oP 'BEST\s+\K[\d.]+' tools/r5_logs/eam63_a14_c1536.log 2>/dev/null | head -1)
+best_a14=$(python3 - "$a14" "$a14c" <<'PY'
+import sys
+vals = [float(v) for v in sys.argv[1:] if v]
+print(min(vals) if vals else "")
+PY
+)
+if [ -n "$best_a14" ] && python3 -c "import sys; sys.exit(0 if float('$best_a14') < 27.4 else 1)"; then
+  if [ -s docs/transcripts/tpu_eam_63_a14_1000steps.txt ] && \
+     grep -q "no atoms lost" docs/transcripts/tpu_eam_63_a14_1000steps.txt; then
+    echo "== a14 conservation: already done"
+  else
+    echo "== a14 conservation run (1000 steps, best=$best_a14 ms) $(date +%H:%M:%S)"
+    timeout 3000 $GATE python -m comd_tpu.cli -e -x 63 -y 63 -z 63 -N 1000 -n 100 \
+      --maxAtoms 14 \
+      > docs/transcripts/tpu_eam_63_a14_1000steps.txt 2>&1
+    tail -4 docs/transcripts/tpu_eam_63_a14_1000steps.txt
+  fi
+else
+  echo "== a14 conservation: skipped (best_a14='$best_a14', needs <27.4)"
+fi
+
 if [ -s tools/r5_logs/step_attr_eam63.log ] && \
    grep -q "hlo. full text" tools/r5_logs/step_attr_eam63.log; then
   echo "== step_attr: already done"
