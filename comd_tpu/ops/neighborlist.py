@@ -98,6 +98,14 @@ def slice_rows(nlist: NeighborList, start: int, stop: int) -> NeighborList:
                         nl=nlist.nl[start:stop], last_r=nlist.last_r)
 
 
+# Scoped-VMEM budget for the build's per-chunk top_k: XLA's TPU lowering
+# stages the (value, index) pair sort across the 27A candidate lane in
+# scoped VMEM (16 MB on v5e), and a [2048, 27*32] chunk overflows it
+# (measured: 19.09M requested, tools/r5_logs/overlap32_nl.log).  8 MB for
+# the 8-byte pair leaves headroom for the r2/dr temporaries alongside.
+_BUILD_TOPK_VMEM_BUDGET = 8 * 2 ** 20
+
+
 def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
           n_rows: int, chunk: int = 2048, row_split=None) -> tuple:
     """Build the neighbor list.  Returns (NeighborList, overflow).
@@ -105,6 +113,11 @@ def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
     ``row_split`` (from row_split_for) orders rows as interior-cell atoms
     first, boundary-cell atoms from index Ri -- the -a 1 layout."""
     B, A = r.shape[1], r.shape[2]
+    # Clamp the chunk so the top_k pair sort fits scoped VMEM.  The build
+    # amortizes over ~65 steps (skin trigger), so chunk is not perf-critical;
+    # at A<=16 (27A<=432) the default 2048 is unaffected.
+    max_chunk = max(128, _BUILD_TOPK_VMEM_BUDGET // (27 * A * 8) // 128 * 128)
+    chunk = min(chunk, max_chunk)
     r_flat = r.reshape(3, B * A)
     if row_split is not None:
         a_list, a_valid, n_real = build_atom_list_split(

@@ -39,6 +39,27 @@ def test_build_counts_match_bruteforce():
         assert got == want, f"row {i}"
 
 
+def test_build_chunk_invariant_through_vmem_clamp():
+    """The scoped-VMEM chunk clamp (neighborlist._BUILD_TOPK_VMEM_BUDGET)
+    must not change the built list: at A=40 the default chunk 2048 clamps
+    to <=640, so compare a clamped build against an explicit tiny chunk."""
+    cfg = base_cfg(method="thread_atom_nl")
+    sim = init_simulation(cfg)
+    params = sim._nl_build_params()
+    assert nlmod._BUILD_TOPK_VMEM_BUDGET // (27 * 40 * 8) < 2048
+    big = dict(params, chunk=2048)   # clamped internally
+    small = dict(params, chunk=128)
+    nl_big, ovf_big = nlmod.build(sim.geom, sim.state.r, sim.state.n_atoms,
+                                  **big)
+    nl_small, ovf_small = nlmod.build(sim.geom, sim.state.r,
+                                      sim.state.n_atoms, **small)
+    assert bool(ovf_big) == bool(ovf_small)
+    np.testing.assert_array_equal(np.asarray(nl_big.nl),
+                                  np.asarray(nl_small.nl))
+    np.testing.assert_array_equal(np.asarray(nl_big.a_list),
+                                  np.asarray(nl_small.a_list))
+
+
 def test_nl_lj_matches_cell_sweep():
     cell = init_simulation(base_cfg())
     nl = init_simulation(base_cfg(method="thread_atom_nl"))
