@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cells import CellGeometry
+from .scan import run_rank
 
 #: coordinate sentinel for empty slots; far from any real atom, and pairs of
 #: empty slots coincide so r2==0 masks them out (reference instead stores one
@@ -147,12 +148,9 @@ def rebucket(geom: CellGeometry, r, p, gid, n_atoms, *, wrap_extent=None,
     idx = jax.lax.broadcasted_iota(jnp.int32, (flat_n, 1), 0).reshape(flat_n)
     box_s, _gid_s, perm = jax.lax.sort((box, gl, idx), num_keys=2)
 
-    # rank within destination cell: arange minus run start (O(N), no search)
-    ar = jax.lax.broadcasted_iota(jnp.int32, (flat_n, 1), 0).reshape(flat_n)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), box_s[1:] != box_s[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, ar, 0))
-    rank = ar - run_start
+    # rank within destination cell: arange minus run start (O(N), no
+    # search; chunked cummax — see ops/scan.py for the scoped-VMEM bound)
+    rank = run_rank(box_s)
 
     max_box = geom.n_total if keep_halo else n_local
     in_cell = box_s < jnp.int32(max_box)
@@ -196,11 +194,7 @@ def append_arrivals(geom: CellGeometry, r, p, gid, n_atoms,
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).reshape(M)
     box_s, _g, perm = jax.lax.sort((box, arr_gid, idx), num_keys=2)
-    ar = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).reshape(M)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), box_s[1:] != box_s[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, ar, 0))
-    rank = ar - run_start
+    rank = run_rank(box_s)
 
     in_cell = box_s < jnp.int32(geom.n_total)
     base = n_atoms[jnp.clip(box_s, 0, B - 1)]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cells import CellGeometry
+from .scan import compact_indices
 
 
 @jax.tree_util.register_dataclass
@@ -48,8 +49,9 @@ def build_atom_list(geom: CellGeometry, n_atoms, A: int, n_rows: int):
     slot = jax.lax.broadcasted_iota(jnp.int32, (geom.n_local, A), 1)
     valid = slot < n_atoms[:geom.n_local, None]
     flat_valid = valid.reshape(-1)
-    idx = jnp.nonzero(flat_valid, size=n_rows, fill_value=0)[0].astype(jnp.int32)
-    n_real = jnp.sum(flat_valid.astype(jnp.int32))
+    # compact_indices, not jnp.nonzero: nonzero's int64 full-length cumsum
+    # overflows TPU scoped VMEM at this scale (see ops/scan.py docstring).
+    idx, n_real = compact_indices(flat_valid, n_rows)
     ar = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).reshape(n_rows)
     return idx, ar < n_real, n_real
 
@@ -80,10 +82,11 @@ def build_atom_list_split(geom: CellGeometry, n_atoms, A: int, row_split):
     valid = slot < n_atoms[:geom.n_local, None]
     v_i = (valid & ~is_b[:, None]).reshape(-1)
     v_b = (valid & is_b[:, None]).reshape(-1)
-    idx_i = jnp.nonzero(v_i, size=Ri, fill_value=0)[0].astype(jnp.int32)
-    idx_b = jnp.nonzero(v_b, size=Rb, fill_value=0)[0].astype(jnp.int32)
-    n_i = jnp.sum(v_i.astype(jnp.int32))
-    n_b = jnp.sum(v_b.astype(jnp.int32))
+    # compact_indices, not jnp.nonzero: nonzero's int64 full-length cumsum
+    # is what killed the sharded-NL TPU compile at 32^3/A=32 (19.09M scoped
+    # VMEM, tools/r5_logs/overlap32_nl.log.2; see ops/scan.py docstring).
+    idx_i, n_i = compact_indices(v_i, Ri)
+    idx_b, n_b = compact_indices(v_b, Rb)
     a_list = jnp.concatenate([idx_i, idx_b])
     ar_i = jax.lax.broadcasted_iota(jnp.int32, (Ri, 1), 0).reshape(Ri)
     ar_b = jax.lax.broadcasted_iota(jnp.int32, (Rb, 1), 0).reshape(Rb)
@@ -98,11 +101,15 @@ def slice_rows(nlist: NeighborList, start: int, stop: int) -> NeighborList:
                         nl=nlist.nl[start:stop], last_r=nlist.last_r)
 
 
-# Scoped-VMEM budget for the build's per-chunk top_k: XLA's TPU lowering
-# stages the (value, index) pair sort across the 27A candidate lane in
-# scoped VMEM (16 MB on v5e), and a [2048, 27*32] chunk overflows it
-# (measured: 19.09M requested, tools/r5_logs/overlap32_nl.log).  8 MB for
-# the 8-byte pair leaves headroom for the r2/dr temporaries alongside.
+# Precautionary scoped-VMEM budget for the build's per-chunk top_k pair
+# sort across the 27A candidate lane (8 bytes per (value, index) pair,
+# 16 MB scoped VMEM on v5e).  NOTE: this clamp was first added against the
+# 32^3/A=32 sharded-NL compile failure but MISSED the real culprit — that
+# 19.09M reduce-window was jnp.nonzero's int64 full-length cumsum in
+# build_atom_list_split, fixed for real by ops/scan.compact_indices
+# (tools/r5_logs/overlap32_nl.log.2).  The clamp stays as a cheap bound on
+# a same-shaped risk (the build amortizes over ~65 steps, so chunk choice
+# is not perf-critical; A<=16 configs are unaffected).
 _BUILD_TOPK_VMEM_BUDGET = 8 * 2 ** 20
 
 
@@ -113,9 +120,8 @@ def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
     ``row_split`` (from row_split_for) orders rows as interior-cell atoms
     first, boundary-cell atoms from index Ri -- the -a 1 layout."""
     B, A = r.shape[1], r.shape[2]
-    # Clamp the chunk so the top_k pair sort fits scoped VMEM.  The build
-    # amortizes over ~65 steps (skin trigger), so chunk is not perf-critical;
-    # at A<=16 (27A<=432) the default 2048 is unaffected.
+    # Clamp the chunk so the top_k pair sort fits scoped VMEM (see
+    # _BUILD_TOPK_VMEM_BUDGET above for provenance and scope).
     max_chunk = max(128, _BUILD_TOPK_VMEM_BUDGET // (27 * A * 8) // 128 * 128)
     chunk = min(chunk, max_chunk)
     r_flat = r.reshape(3, B * A)
@@ -144,7 +150,7 @@ def build(geom: CellGeometry, r, n_atoms, *, k: int, rcut2: float,
         dr = ri[:, :, None] - rj
         r2 = dr[0] ** 2 + dr[1] ** 2 + dr[2] ** 2
         mask = (r2 <= dtype.type(rcut2)) & (r2 > 0)
-        count = jnp.sum(mask, axis=-1)
+        count = jnp.sum(mask, axis=-1, dtype=jnp.int32)  # no x64 promotion
         vals, kidx = jax.lax.top_k(mask.astype(jnp.int32), k)   # first K valid
         sel = jnp.take_along_axis(cand, kidx, axis=1)           # [C, K]
         sel = jnp.where(vals > 0, sel, rows_c[:, None])         # self-pad

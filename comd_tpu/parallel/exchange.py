@@ -36,6 +36,7 @@ import numpy as np
 
 from ..cells import CellGeometry
 from ..ops import binning
+from ..ops import scan as scan_ops
 
 
 def _scope(name):
@@ -195,9 +196,11 @@ def exchange_atoms(plan: ExchangePlan, geom: CellGeometry,
                 nmsg = len(ids)
                 slot = jax.lax.broadcasted_iota(jnp.int32, (nmsg, A), 1)
                 valid = (slot < n_atoms[ids_j][:, None]).reshape(-1)
-                count = jnp.sum(valid.astype(jnp.int32))
+                # compact_indices, not jnp.nonzero: avoids nonzero's int64
+                # full-length cumsum which overflows TPU scoped VMEM at
+                # large plane sizes (see ops/scan.py docstring).
+                sel, count = scan_ops.compact_indices(valid, cap)
                 overflow |= count > cap
-                sel = jnp.nonzero(valid, size=cap, fill_value=0)[0]
                 rp6 = jnp.concatenate(
                     [r[:, ids_j].reshape(3, -1),
                      p[:, ids_j].reshape(3, -1)], axis=0)[:, sel]

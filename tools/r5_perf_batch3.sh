@@ -1,8 +1,11 @@
 #!/bin/bash
-# Round-5 batch 3: verify the NL build scoped-VMEM fix on real TPU.
+# Round-5 batch 3: verify the long-scan scoped-VMEM fix on real TPU.
 # The sharded-NL compile at 32^3/A=32 died with a 19.09M scoped-VMEM
-# overflow in the build's top_k pair sort (tools/r5_logs/overlap32_nl.log);
-# neighborlist.build now clamps the build chunk to an 8 MB pair budget.
+# overflow (tools/r5_logs/overlap32_nl.log.2).  First diagnosis blamed the
+# NL build's top_k pair sort (chunk clamp, commit 8a31886) — the post-clamp
+# retry failed identically.  TPU-platform export then attributed the
+# failing reduce-window to jnp.nonzero's int64 full-length cumsum in
+# build_atom_list_split; fixed by the chunked i32 scans in ops/scan.py.
 # This run both (a) proves the sharded NL family compiles+runs on the
 # chip, and (b) lands the campaign's missing NL-path -a overlap delta.
 set -u
