@@ -187,6 +187,18 @@ def claim_priority() -> None:
         log(f"[bench] could not set priority flag: {e}")
 
 
+def touch_priority() -> None:
+    """Refresh the flag mtime: the gate's staleness cleanup (40 min) must
+    not strip driver priority mid-run when BENCH_BUDGET_S is raised past
+    the default (the flag is otherwise written once, at entry)."""
+    if not _lock_needed():
+        return
+    try:
+        os.utime(PRIORITY_FLAG, None)
+    except OSError:
+        pass
+
+
 def release_priority() -> None:
     try:
         os.unlink(PRIORITY_FLAG)
@@ -214,25 +226,43 @@ def acquire_tpu_lock(timeout_s: float) -> bool:
     def on_alarm(sig, frm):
         raise TimeoutError("lock wait deadline")
 
+    acquired = False
     old = signal.signal(signal.SIGALRM, on_alarm)
-    signal.setitimer(signal.ITIMER_REAL, max(timeout_s, 0.001))
     try:
-        fcntl.flock(fd, fcntl.LOCK_EX)   # blocks; queued behind the holder
+        signal.setitimer(signal.ITIMER_REAL, max(timeout_s, 0.001))
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)   # blocks; queued behind holder
+            acquired = True
+        finally:
+            # A late alarm can fire between flock() returning and the timer
+            # being disarmed; `acquired` (not exception-freedom) is the
+            # source of truth, and the outer except swallows the stray
+            # TimeoutError so it cannot escape past the JSON guarantee.
+            signal.setitimer(signal.ITIMER_REAL, 0)
     except (OSError, TimeoutError):
-        os.close(fd)
-        return False
+        pass
     finally:
-        signal.setitimer(signal.ITIMER_REAL, 0)
         signal.signal(signal.SIGALRM, old)
+    if not acquired:
+        try:
+            os.close(fd)
+        except OSError:
+            pass
+        return False
     _LOCK_FD = fd
     log("[bench] TPU lock acquired")
     return True
 
 
+_EMITTED = False
+
+
 def emit(value: float, metric: str) -> None:
+    global _EMITTED
     print(json.dumps({"metric": metric, "value": value,
                       "unit": "atom-steps/sec/chip",
                       "vs_baseline": value / NORTH_STAR}), flush=True)
+    _EMITTED = True
 
 
 def main():
@@ -261,9 +291,11 @@ def main():
         while time.monotonic() + attempt_min < deadline:
             wait_budget = deadline - time.monotonic() - attempt_min
             if not acquire_tpu_lock(wait_budget):
+                failure_note = "TPU lock wait exhausted budget (device busy)"
                 log("[bench] TPU lock wait exhausted the budget "
                     f"({deadline - time.monotonic():.0f}s left)")
                 break
+            touch_priority()   # keep the gate's staleness check at bay
             if probe_tpu(min(90.0, deadline - time.monotonic() - attempt_min)):
                 healthy = True
                 break
@@ -318,5 +350,13 @@ if __name__ == "__main__":
     else:
         try:
             main()
+        except Exception as e:
+            # The JSON line is ALWAYS printed, even if something escapes
+            # main() (e.g. a stray SIGALRM TimeoutError delivered at an
+            # unlucky bytecode boundary).
+            log(f"[bench] uncaught: {type(e).__name__}: {e}")
+            if not _EMITTED:
+                emit(0.0, "atom-steps/sec/chip (bench crashed: "
+                          f"{type(e).__name__}: {e})")
         finally:
             release_priority()
