@@ -55,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
       help="skin distance (relative to cutoff)")
     a("-m", "--method", default="thread_atom",
       help="thread_atom,warp_atom,warp_atom_nl,cta_cell,thread_atom_nl,cpu_nl")
-    a("-a", "--gpuAsync", type=int, default=0,
-      help="communication hiding optimization (interior/boundary overlap)")
+    a("-a", "--gpuAsync", type=int, default=-1,
+      help="communication hiding optimization (interior/boundary overlap); "
+           "-1 = auto: ON for *_nl methods (measured 10.5%% EAM win, "
+           "noise-neutral LJ), OFF for cell sweeps (costs 8-15%% "
+           "single-chip; pass -a 1 explicitly for multi-chip cell runs)")
     a("-s", "--gpuProfile", action="store_true",
       help="profiling mode: reboxing disabled, single force run")
     a("-I", "--ljInterpolation", action="store_true",
@@ -238,8 +241,9 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
               "this serial run has no halo exchange to transport.",
               file=out)
 
-    if cfg.gpu_async:
-        if cfg.xproc * cfg.yproc * cfg.zproc == 1:
+    if cfg.resolved_gpu_async:
+        if cfg.gpu_async > 0 and cfg.xproc * cfg.yproc * cfg.zproc == 1 \
+                and not cfg.use_nl:
             print("# WARNING: -a 1 overlaps interior force compute with the "
                   "halo collectives and only applies to multi-device runs "
                   "(-i/-j/-k); this serial run has no exchange to overlap.",

@@ -63,7 +63,10 @@ class Config:
     method: str = "thread_atom"
     relative_skin_distance: float = 0.1   # -S (only used by *_nl / pairlist)
     do_hilbert: bool = False              # -H space-filling cell order
-    gpu_async: int = 0                    # -a: interior/boundary overlap
+    gpu_async: int = -1                   # -a: interior/boundary overlap;
+                                          # -1 = auto (on for NL families,
+                                          # off for cell sweeps -- see
+                                          # resolved_gpu_async)
     gpu_profile: bool = False             # -s: 0 steps, single force eval
     lj_interpolation: bool = False        # -I: table-interpolated LJ
     lj_cutoff_factor: float = 2.5         # LJ cutoff / sigma: 2.5 = upstream
@@ -210,6 +213,24 @@ class Config:
     @property
     def use_nl(self) -> bool:
         return self.method in ("thread_atom_nl", "warp_atom_nl", "cpu_nl")
+
+    @property
+    def resolved_gpu_async(self) -> int:
+        """-a with a measured auto default (docs/BENCHMARKS.md round 5).
+
+        Explicit ``-a 0/1`` is honored.  Auto (-1) resolves to 1 on the
+        NL families: the interior/boundary row-split partitions the SAME
+        rows (no duplicated work), measured 10.5% FASTER on EAM even
+        single-chip (670 vs 748 ms/step at 32^3) and noise-neutral on LJ
+        -- safe-by-default at any scale.  Cell-family sweeps resolve to
+        0: the split duplicates sweep dispatch and costs 8-15%
+        single-chip; flip ``-a 1`` on explicitly for multi-chip cell
+        runs per the ICI model (the halo share it hides at scale).
+        Reference analog: timestep.c:257-265 overlap mode.
+        """
+        if self.gpu_async >= 0:
+            return self.gpu_async
+        return 1 if self.use_nl else 0
 
     @property
     def resolved_sweep_impl(self) -> str:

@@ -129,7 +129,7 @@ class ShardedSimulation:
         else:
             fill = functools.partial(exchange.exchange_scalar, plan, geom)
         fold = functools.partial(exchange.fold_halo, plan, geom)
-        use_async = bool(cfg.gpu_async)
+        use_async = bool(cfg.resolved_gpu_async)
         use_pallas = (cfg.method == "cta_cell" and not cfg.lj_interpolation
                       and not use_async)
         use_half = (cfg.half_shell and not use_async and not use_pallas
@@ -235,7 +235,7 @@ class ShardedSimulation:
         xatoms = self._exchange_atoms_fn()
         n_local_boxes = geom.n_local
 
-        use_async = bool(cfg.gpu_async)
+        use_async = bool(cfg.resolved_gpu_async)
 
         def step(state: SimState, _):
             with jax.named_scope("velocity"):
@@ -333,7 +333,7 @@ class ShardedSimulation:
         # -a 1: rows ordered [interior (Ri)] ++ [boundary (Rb)] so the
         # interior sweeps can read pre-exchange state (timestep.c:257-265)
         row_split = (nlmod.row_split_for(self.geom, cfg.max_atoms)
-                     if cfg.gpu_async else None)
+                     if cfg.resolved_gpu_async else None)
         return dict(k=k, rcut2=rcut_nl ** 2, n_rows=n_rows,
                     chunk=cfg.nl_chunk, row_split=row_split)
 
@@ -341,7 +341,7 @@ class ShardedSimulation:
         cfg, pot, geom, plan = self.cfg, self.pot, self.geom, self.plan
         e_dtype = cfg.jax_energy_dtype
         chunk = cfg.nl_chunk
-        use_async = bool(cfg.gpu_async)
+        use_async = bool(cfg.resolved_gpu_async)
         if use_async:
             _, Ri, _Rb = nlmod.row_split_for(geom, cfg.max_atoms)
 
@@ -385,7 +385,7 @@ class ShardedSimulation:
         n_local_boxes = geom.n_local
         axes = ("x", "y", "z")
 
-        use_async = bool(cfg.gpu_async)
+        use_async = bool(cfg.resolved_gpu_async)
 
         def rebuild(args):
             r, p, gid, n_atoms, _nl = args
@@ -445,7 +445,7 @@ class ShardedSimulation:
         skin = self.skin
         n_local_boxes = geom.n_local
         axes = ("x", "y", "z")
-        use_async = bool(cfg.gpu_async)
+        use_async = bool(cfg.resolved_gpu_async)
 
         def rebuild(args):
             r, p, gid, n_atoms, _last = args

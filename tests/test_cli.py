@@ -185,3 +185,24 @@ def test_cli_impl_flags_map_to_config():
     # defaults stay auto/collective
     d = config_from_args(build_parser().parse_args([]))
     assert d.sweep_impl == "auto" and d.comm_impl == "collective"
+
+
+def test_gpu_async_auto_default():
+    """-a auto (-1): ON for NL families (measured 10.5% EAM win,
+    noise-neutral LJ -- docs/BENCHMARKS.md round 5), OFF for cell
+    sweeps (costs 8-15% single-chip); explicit -a 0/1 always honored."""
+    from comd_tpu.cli import build_parser, config_from_args
+    from comd_tpu.config import Config
+
+    d = config_from_args(build_parser().parse_args([]))
+    assert d.gpu_async == -1 and d.resolved_gpu_async == 0
+
+    nl = config_from_args(build_parser().parse_args(
+        ["-m", "thread_atom_nl"]))
+    assert nl.resolved_gpu_async == 1
+
+    # explicit values win over auto on both families
+    assert Config(method="thread_atom_nl",
+                  gpu_async=0).resolved_gpu_async == 0
+    assert Config(method="thread_atom",
+                  gpu_async=1).resolved_gpu_async == 1

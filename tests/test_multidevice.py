@@ -165,7 +165,9 @@ def test_async_nl_matches_sync(doeam):
     Reference: timestep.c:257-265, :328-351."""
     kw = dict(doeam=doeam, method="thread_atom_nl",
               xproc=2, yproc=2, zproc=2)
-    sync = init_simulation(base_cfg(**kw))
+    # pin -a 0 on the sync side: NL families auto-default to -a 1
+    # (Config.resolved_gpu_async), which would make this comparison vacuous
+    sync = init_simulation(base_cfg(gpu_async=0, **kw))
     async_ = init_simulation(base_cfg(gpu_async=1, **kw))
     assert async_.e_potential == pytest.approx(sync.e_potential, abs=1e-9)
     sync.step_block(30)
