@@ -2,7 +2,11 @@
 
 Builds the shared library on first use (g++ -O3 -fopenmp) and caches it next
 to the package; silently falls back to the vectorized-numpy implementations
-in comd_tpu.rng when no compiler is available.  Both paths are bit-identical.
+in comd_tpu.rng when no compiler is available.  The native path is canonical
+(glibc log/sqrt, matching the reference binary bit-for-bit); the numpy
+fallback is bit-identical on the integer streams and 1-ulp-close on gasdev
+(numpy's SIMD log differs from glibc by 1 ulp for ~0.1% of inputs — see
+comd_tpu/rng.py and tests/test_native.py).
 """
 from __future__ import annotations
 
