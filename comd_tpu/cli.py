@@ -242,13 +242,22 @@ def run(cfg: Config, out=sys.stdout, yaml_dir: str | None = None,
               file=out)
 
     if cfg.resolved_gpu_async:
-        if cfg.gpu_async > 0 and cfg.xproc * cfg.yproc * cfg.zproc == 1 \
-                and not cfg.use_nl:
+        serial = cfg.xproc * cfg.yproc * cfg.zproc == 1
+        if cfg.gpu_async > 0 and serial:
+            # Explicit -a 1 on any serial run is inert: the single-process
+            # implementation (sim.Simulation) has no exchange to overlap
+            # and never reads the flag -- including the NL families, whose
+            # measured win lives in the sharded machinery.
             print("# WARNING: -a 1 overlaps interior force compute with the "
                   "halo collectives and only applies to multi-device runs "
-                  "(-i/-j/-k); this serial run has no exchange to overlap.",
-                  file=out)
-        elif cfg.method == "cta_cell" or cfg.half_shell:
+                  "(-i/-j/-k); this serial run has no exchange to overlap "
+                  "and ignores -a.", file=out)
+        elif not serial and (cfg.method == "cta_cell" or
+                             (cfg.half_shell and
+                              not (cfg.use_nl or cfg.use_pairlist))):
+            # Only cell-family sweeps are replaced by the split formulation;
+            # half_shell never applied to the NL force paths, so an
+            # auto-resolved -a 1 there must not claim it replaced anything.
             print("# WARNING: -a 1 replaces the cta_cell/half-shell sweep "
                   "with the interior/boundary split XLA sweeps (the overlap "
                   "needs the split formulation).", file=out)

@@ -219,18 +219,28 @@ class Config:
         """-a with a measured auto default (docs/BENCHMARKS.md round 5).
 
         Explicit ``-a 0/1`` is honored.  Auto (-1) resolves to 1 on the
-        NL families: the interior/boundary row-split partitions the SAME
-        rows (no duplicated work), measured 10.5% FASTER on EAM even
-        single-chip (670 vs 748 ms/step at 32^3) and noise-neutral on LJ
-        -- safe-by-default at any scale.  Cell-family sweeps resolve to
-        0: the split duplicates sweep dispatch and costs 8-15%
-        single-chip; flip ``-a 1`` on explicitly for multi-chip cell
-        runs per the ICI model (the halo share it hides at scale).
-        Reference analog: timestep.c:257-265 overlap mode.
+        performance NL families -- ``thread_atom_nl``/``warp_atom_nl``
+        and the -L pairlist (which runs the same NL stepping machinery,
+        parallel/sharded.py uses_nl): the interior/boundary row-split
+        partitions the SAME rows (no duplicated work), measured 10.5%
+        FASTER on EAM and noise-neutral on LJ on the sharded machinery
+        even with no real exchange latency (670 vs 748 ms/step, 32^3
+        forced-sharded at 1x1x1) -- safe-by-default at any mesh size.
+        ``cpu_nl`` stays 0 under auto so the correctness oracle keeps
+        the plain (unsplit) force path as an independent reference.
+        Cell-family sweeps resolve to 0: the split duplicates sweep
+        dispatch and costs 8-15% single-chip; flip ``-a 1`` on
+        explicitly for multi-chip cell runs per the ICI model (the halo
+        share it hides at scale).  Scope: the split exists only in the
+        sharded stepping machinery; the serial single-process
+        implementation (sim.Simulation, nprocs == 1) has no exchange
+        and ignores this flag entirely (the CLI warns on an explicit
+        serial ``-a 1``).  Reference analog: timestep.c:257-265.
         """
         if self.gpu_async >= 0:
             return self.gpu_async
-        return 1 if self.use_nl else 0
+        return 1 if (self.method in ("thread_atom_nl", "warp_atom_nl")
+                     or self.use_pairlist) else 0
 
     @property
     def resolved_sweep_impl(self) -> str:

@@ -188,9 +188,12 @@ def test_cli_impl_flags_map_to_config():
 
 
 def test_gpu_async_auto_default():
-    """-a auto (-1): ON for NL families (measured 10.5% EAM win,
-    noise-neutral LJ -- docs/BENCHMARKS.md round 5), OFF for cell
-    sweeps (costs 8-15% single-chip); explicit -a 0/1 always honored."""
+    """-a auto (-1): ON for the performance NL families (measured 10.5%
+    EAM win, noise-neutral LJ -- docs/BENCHMARKS.md round 5) including
+    the -L pairlist (same NL stepping machinery), OFF for cell sweeps
+    (costs 8-15% single-chip) and for the cpu_nl oracle (keeps the
+    plain force path as an independent reference); explicit -a 0/1
+    always honored."""
     from comd_tpu.cli import build_parser, config_from_args
     from comd_tpu.config import Config
 
@@ -200,6 +203,16 @@ def test_gpu_async_auto_default():
     nl = config_from_args(build_parser().parse_args(
         ["-m", "thread_atom_nl"]))
     assert nl.resolved_gpu_async == 1
+    assert Config(method="warp_atom_nl").resolved_gpu_async == 1
+
+    # -L runs the NL stepping machinery (ShardedSimulation.uses_nl), so
+    # auto must resolve the same way it does for -m *_nl
+    pl = config_from_args(build_parser().parse_args(["-L"]))
+    assert pl.use_pairlist and pl.resolved_gpu_async == 1
+
+    # the cpu_nl correctness oracle keeps the plain (unsplit) path
+    assert Config(method="cpu_nl").resolved_gpu_async == 0
+    assert Config(method="cpu_nl", gpu_async=1).resolved_gpu_async == 1
 
     # explicit values win over auto on both families
     assert Config(method="thread_atom_nl",

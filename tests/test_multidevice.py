@@ -155,16 +155,20 @@ def test_async_overlap_matches_sync():
     assert async_.e_potential == sync.e_potential  # bitwise
 
 
-@pytest.mark.parametrize("doeam", [False, True])
-def test_async_nl_matches_sync(doeam):
+@pytest.mark.parametrize("doeam,pairlist", [(False, False), (True, False),
+                                            (False, True)])
+def test_async_nl_matches_sync(doeam, pairlist):
     """-a 1 on the NL methods (round-4): the interior/boundary ROW split
     (rows ordered interior-first at build, interior sweeps reading
     pre-exchange positions/dfEmbed) changes scheduling freedom, not math --
     the trajectory must match the sync NL path to fp-reordering tolerance
     across rebuild steps (which give up overlap like the lazy path).
+    The -L pairlist case covers the same machinery reached via
+    use_pairlist (it auto-defaults to -a 1 like the *_nl methods).
     Reference: timestep.c:257-265, :328-351."""
-    kw = dict(doeam=doeam, method="thread_atom_nl",
-              xproc=2, yproc=2, zproc=2)
+    kw = dict(doeam=doeam, xproc=2, yproc=2, zproc=2,
+              **({"use_pairlist": True} if pairlist
+                 else {"method": "thread_atom_nl"}))
     # pin -a 0 on the sync side: NL families auto-default to -a 1
     # (Config.resolved_gpu_async), which would make this comparison vacuous
     sync = init_simulation(base_cfg(gpu_async=0, **kw))
