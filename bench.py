@@ -105,9 +105,10 @@ def measure(n_cells: int, doeam: bool, dtype: str, short: int, long: int,
         tl = time.time() - t0
         best = min(best, (tl - ts) / ((long - short) * block))
     e_per_atom = sim.e_potential / sim.n_global
+    n_atoms = sim.sum_atoms()   # once: each call is a D2H read through the
     log(f"[bench] {best*1e3:.2f} ms/step  ePot/atom {e_per_atom:.6f}  "
-        f"atoms {sim.sum_atoms()}")
-    assert sim.sum_atoms() == sim.n_global, "atoms lost"
+        f"atoms {n_atoms}")     # relay, which stalls randomly (CLAUDE.md)
+    assert n_atoms == sim.n_global, "atoms lost"
     return sim.n_global, best
 
 
@@ -166,6 +167,8 @@ LOCK_PATH = os.environ.get("BENCH_LOCK_PATH", "/tmp/comd_tpu.lock")
 # always lost the race to the next gated run).
 PRIORITY_FLAG = os.environ.get("BENCH_PRIORITY_PATH",
                                "/tmp/comd_tpu.driver_priority")
+_CLAIMED = False          # this process created the flag (guards release)
+_RELEASED = None          # threading.Event stopping the refresher thread
 
 
 def _lock_needed() -> bool:
@@ -176,22 +179,37 @@ def _lock_needed() -> bool:
 
 
 def claim_priority() -> None:
-    """Signal gated campaign runs to yield the TPU between runs."""
+    """Signal gated campaign runs to yield the TPU between runs.
+
+    A daemon thread refreshes the flag mtime every 5 minutes for the
+    life of the process: the gate's staleness cleanup (40 min) must not
+    strip driver priority while this process is blocked inside the
+    flock wait (which can last most of a raised BENCH_BUDGET_S with no
+    Python running to touch the flag) or mid-measurement."""
+    global _CLAIMED, _RELEASED
     if not _lock_needed():
         return
     try:
         with open(PRIORITY_FLAG, "w") as f:
             f.write(f"bench.py pid={os.getpid()} t={time.time():.0f}\n")
+        _CLAIMED = True
         log(f"[bench] driver-priority flag set ({PRIORITY_FLAG})")
     except OSError as e:
         log(f"[bench] could not set priority flag: {e}")
+        return
+    import threading
+    _RELEASED = threading.Event()
+
+    def refresh():
+        while not _RELEASED.wait(300.0):
+            touch_priority()
+
+    threading.Thread(target=refresh, daemon=True).start()
 
 
 def touch_priority() -> None:
-    """Refresh the flag mtime: the gate's staleness cleanup (40 min) must
-    not strip driver priority mid-run when BENCH_BUDGET_S is raised past
-    the default (the flag is otherwise written once, at entry)."""
-    if not _lock_needed():
+    """Refresh the flag mtime (see claim_priority's refresher thread)."""
+    if not _CLAIMED:
         return
     try:
         os.utime(PRIORITY_FLAG, None)
@@ -200,6 +218,13 @@ def touch_priority() -> None:
 
 
 def release_priority() -> None:
+    """Remove the flag -- only if THIS process created it: a CPU/CI
+    rehearsal run (claim skipped via _lock_needed) must not unlink a
+    concurrently-running real bench's flag."""
+    if _RELEASED is not None:
+        _RELEASED.set()
+    if not _CLAIMED:
+        return
     try:
         os.unlink(PRIORITY_FLAG)
     except OSError:
@@ -296,7 +321,14 @@ def main():
                     f"({deadline - time.monotonic():.0f}s left)")
                 break
             touch_priority()   # keep the gate's staleness check at bay
-            if probe_tpu(min(90.0, deadline - time.monotonic() - attempt_min)):
+            # the blocking lock wait may have consumed nearly all the
+            # headroom: a probe with a <=0 timeout is instantly killed and
+            # would misreport an exhausted budget as device ill-health
+            probe_budget = deadline - time.monotonic() - attempt_min
+            if probe_budget <= 5.0:
+                failure_note = "budget exhausted during lock wait"
+                break
+            if probe_tpu(min(90.0, probe_budget)):
                 healthy = True
                 break
             log("[bench] TPU unhealthy, retry in 20s "
@@ -328,6 +360,14 @@ def main():
             if rc == 0 and os.path.getsize(out) > 0:
                 with open(out) as f:
                     res = json.load(f)
+                if not res["per_step"] > 0:
+                    # relay timing noise can make one marginal (long-short)
+                    # difference non-positive; that is a failed measurement,
+                    # not a (negative/infinite) rate to report as success
+                    failure_note = (f"{n_cells}^3 non-positive marginal "
+                                    f"time {res['per_step']:.3e}")
+                    log(f"[bench] {failure_note}; falling back")
+                    continue
                 rate = res["n_atoms"] / res["per_step"]
                 emit(rate,
                      f"atom-steps/sec/chip, {res['n_atoms']}-atom "
