@@ -256,8 +256,13 @@ class Config:
         # chunk, 27 static in-window views) minimizes it and beats both
         # the gather and the 27-dynamic-slice dense forms at A=16 AND
         # A=32 (EAM 63^3: 30.5 vs 36.5 ms; EAM 64^3: 41.3 vs 44.4; LJ
-        # 64^3: 13.3 vs 15.0).  Capacities above 32 (e.g. 5-sigma LJ
-        # cells) are unmeasured -- keep the gather sweep there.
+        # 64^3: 13.3 vs 15.0).  Above 32 the window sweep loses: at the
+        # 5-sigma LJ capacity (A=176, k=7 cells) dense_w measured 2.0x
+        # worse at C=256 and still 1.66x worse at C=64 (the [C, A, 27A]
+        # pair tensor is 30x the A=32 footprint at equal C, so the chunk
+        # must shrink until the per-chunk prologue dominates) -- gather
+        # is the measured answer for big-A cells (round-5 batch 4,
+        # tools/r5_logs/lj28_5sig_*.log).
         return "dense_w" if 0 < self.max_atoms <= 32 else "gather"
 
     @property

@@ -42,12 +42,14 @@ def main():
     hilbert = os.environ.get("BENCH_HILBERT", "0") == "1"
     sweep = os.environ.get("BENCH_SWEEP", "auto")
     pot_type = os.environ.get("BENCH_POT_TYPE", "funcfl")
+    ljcut = float(os.environ.get("BENCH_LJCUT", 2.5))  # fork's 5-sigma: 5
     cfg = Config(nx=n, ny=n, nz=n, doeam=doeam, temperature=600.0,
                  dtype=dtype, max_atoms=max_atoms, cell_mode=cell_mode,
                  interp_impl=interp, box_chunk=chunk, sweep_impl=sweep,
                  half_shell=half, half_fetch=half_fetch,
                  half_materialize=half_mat, method=method, pot_type=pot_type,
-                 do_hilbert=hilbert, pot_dir="/root/repo/pots")
+                 do_hilbert=hilbert, lj_cutoff_factor=ljcut,
+                 pot_dir="/root/repo/pots")
     sim = init_simulation(cfg)
     log(f"init done atoms={sim.n_global} method={method} "
         f"cell_mode={sim.cfg.cell_mode} A={sim.cfg.max_atoms} "
