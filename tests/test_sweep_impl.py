@@ -67,6 +67,22 @@ def test_auto_resolution():
                   sweep_impl="dense_w").resolved_sweep_impl == "dense_w"
 
 
+def test_dense_w_matches_gather_big_a_5sigma():
+    """Big-A coverage of the window sweep: the fork's 5-sigma LJ cutoff
+    (ljForce.c:102-120) plans k=7 commensurate cells with A=176 -- far
+    above the dense_w auto range (gather is the measured winner there by
+    1.66-2.0x, round-5 batch 4), but the formulation must stay CORRECT at
+    any capacity a user pins explicitly."""
+    kw = dict(doeam=False, nx=7, ny=7, nz=7, lj_cutoff_factor=5.0)
+    a = run("gather", **kw)
+    b = run("dense_w", **kw)
+    assert a.cfg.max_atoms > 32          # really the big-A regime
+    assert a.cfg.resolved_sweep_impl == "gather"   # the auto answer
+    assert b.e_potential == pytest.approx(a.e_potential, rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(b.state.r), np.asarray(a.state.r), atol=1e-9)
+
+
 def test_warp_atom_matches_thread_atom():
     """-m warp_atom (gather-pinned) must produce the same physics as the
     auto thread_atom formulation."""
