@@ -201,20 +201,65 @@ def exchange_atoms_ki(plan: ExchangePlan, geom: CellGeometry,
 def make_df_eval_for_kernel(pot, dtype):
     """(eval_fn, consts) for the fused pass-2 push kernel: the two-level
     embedding-derivative evaluator with its packed table passed explicitly
-    (Pallas kernels cannot capture array constants)."""
+    (Pallas kernels cannot capture array constants).
+
+    This is a RESHAPE-FREE restatement of ``tables.interpolate_twolevel``:
+    the round-5 TPU toolchain's Mosaic rejects any in-kernel shape cast
+    that moves data between sublanes and lanes (``vector<16x32> ->
+    vector<512>``, ``vector<512x32> -> vector<512x8x4>`` -- both of which
+    the shared evaluator uses and which compiled on the earlier
+    toolchain).  Here the plane arrives as an [N, 1] column and every step
+    is elementwise math, a lane broadcast, or a 2D matmul: block fetch =
+    one-hot @ T2 (as before); the row-select and 4-point-stencil extract
+    become exact 0/1 selection matmuls (R expands the row one-hot across
+    the block lanes, S folds the masked block to the stencil, E picks
+    stencil columns) instead of a 3D reshape + axis reduction.  All 0/1
+    contractions run at HIGHEST precision, so each output lane is a sum
+    of zeros plus the selected value -- numerically identical to the
+    production pass-2 evaluator's gather-free lookup (<= 1 ulp end to
+    end, same quadratic combine in the same order)."""
     from ..potentials import tables
-    T2np, nb = tables.pack_twolevel([pot.f], block_rows=8)
+    block_rows, width = 8, 4
+    T2np, nb = tables.pack_twolevel([pot.f], block_rows=block_rows)
     tab = pot.f
+    x0, inv_dx, n = tab.x0, tab.inv_dx, tab.n
 
-    def eval_df(rho, T2):
-        # batch >= plane size: single-body path (no lax.map; Mosaic's scan
-        # lowering rejects extensive outputs inside kernels)
-        (_f, df), = tables.interpolate_twolevel(
-            T2, nb, 8, 1, tab.n, tab.x0, tab.inv_dx, rho,
-            batch=int(np.prod(jnp.shape(rho))))
-        return df
+    Rnp = np.zeros((block_rows, block_rows * width), dtype=np.float64)
+    Snp = np.zeros((block_rows * width, width), dtype=np.float64)
+    for j in range(block_rows):
+        for w in range(width):
+            Rnp[j, j * width + w] = 1.0
+            Snp[j * width + w, w] = 1.0
+    Enp = np.eye(width, dtype=np.float64)
 
-    return eval_df, (jnp.asarray(T2np, dtype=dtype),)
+    def eval_df(rho, T2, R, S, E):
+        hp = jax.lax.Precision.HIGHEST
+        r_b = jnp.maximum(rho, x0)                      # [N, 1]
+        rr = (r_b - x0) * inv_dx
+        ii = jnp.floor(rr).astype(jnp.int32)
+        over = ii > n
+        ii = jnp.minimum(ii, n)
+        frac = jnp.where(over, 0.0, rr - jnp.floor(rr)).astype(T2.dtype)
+        hi = ii >> 3                                    # block index
+        lo = ii & (block_rows - 1)                      # row within block
+        oh = (hi == jnp.arange(nb, dtype=jnp.int32)[None, :]).astype(T2.dtype)
+        fetched = jax.lax.dot(oh, T2, precision=hp)     # [N, 8*width]
+        sel = (lo == jnp.arange(block_rows,
+                                dtype=jnp.int32)[None, :]).astype(T2.dtype)
+        sel_full = jax.lax.dot(sel, R, precision=hp)    # [N, 8*width]
+        vals = jax.lax.dot(fetched * sel_full, S, precision=hp)   # [N, 4]
+        tm1 = jax.lax.dot(vals, E[:, 0:1], precision=hp)          # [N, 1]
+        t0 = jax.lax.dot(vals, E[:, 1:2], precision=hp)
+        t1 = jax.lax.dot(vals, E[:, 2:3], precision=hp)
+        t2 = jax.lax.dot(vals, E[:, 3:4], precision=hp)
+        g1 = t1 - tm1
+        g2 = t2 - t0
+        return 0.5 * (g1 + frac * (g2 - g1)) * inv_dx
+
+    return eval_df, (jnp.asarray(T2np, dtype=dtype),
+                     jnp.asarray(Rnp, dtype=dtype),
+                     jnp.asarray(Snp, dtype=dtype),
+                     jnp.asarray(Enp, dtype=dtype))
 
 
 def _pass2_push_kernel(*refs, n_consts, eval_df, axis_name, direction,
@@ -254,23 +299,33 @@ def _pass2_push_kernel(*refs, n_consts, eval_df, axis_name, direction,
 def _pass2_push(rho_plane, eval_df, axis_name, direction, *, interpret,
                 collective_id, single_axis=False, consts=()):
     """Returns (dfe_plane_local, dfe_plane_received).  ``consts`` are the
-    evaluator's table arrays, passed through as kernel inputs."""
+    evaluator's table arrays, passed through as kernel inputs.
+
+    The [n_plane_cells, A] plane is flattened to an [N, 1] column OUTSIDE
+    the kernel: moving data between sublanes and lanes is an unsupported
+    Mosaic shape cast inside the kernel, and the column shape lets the
+    reshape-free evaluator (make_df_eval_for_kernel) run its one-hot
+    selection matmuls directly with zero in-kernel reshapes.  The wire
+    format of the remote copy is shape-agnostic anyway."""
+    shape = rho_plane.shape
+    rho_row = rho_plane.reshape(-1, 1)
     kern = functools.partial(
         _pass2_push_kernel, n_consts=len(consts), eval_df=eval_df,
         axis_name=axis_name, direction=direction, single_axis=single_axis,
         use_barrier=not interpret)
-    return pl.pallas_call(
+    local, received = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(consts)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct(rho_plane.shape, rho_plane.dtype),
-                   jax.ShapeDtypeStruct(rho_plane.shape, rho_plane.dtype)],
+        out_shape=[jax.ShapeDtypeStruct(rho_row.shape, rho_row.dtype),
+                   jax.ShapeDtypeStruct(rho_row.shape, rho_row.dtype)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=collective_id),
         interpret=interpret,
-    )(rho_plane, *consts)
+    )(rho_row, *consts)
+    return local.reshape(shape), received.reshape(shape)
 
 
 def exchange_scalar_ki_fused(plan: ExchangePlan, geom: CellGeometry, x,

@@ -107,7 +107,9 @@ def test_fused_pass2_push_computes_df_and_moves():
     dfe, recv = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P("x"),),
         out_specs=(P("x"), P("x")), check_vma=False))(rho)
-    want = np.asarray(eval_df(rho, *consts))
+    # the evaluator's contract is an [N, 1] column (reshape-free Mosaic
+    # lowering); _pass2_push does this flattening internally
+    want = np.asarray(eval_df(rho.reshape(-1, 1), *consts)).reshape(rho.shape)
     # in-kernel vs XLA evaluation may contract FMAs differently: <= 1 ulp
     np.testing.assert_allclose(np.asarray(dfe), want, rtol=1e-6)
     got = np.asarray(recv).reshape(n, 8, 16)
