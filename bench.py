@@ -152,8 +152,19 @@ def run_child(argv, timeout_s: float) -> int:
         return -9
 
 
-def probe_tpu(timeout_s: float = 90.0) -> bool:
-    """One trivial-matmul health probe in a killable child."""
+# A COLD relay dial measured 183s end-to-end (round 5 close-out; warm is
+# ~10s).  The probe timeout must cover it or the health loop kills every
+# dial at 90s and misreports a working chip as down for the whole budget
+# (the BENCH_r04-style 0.0).  330s = measured cold dial x1.8.
+PROBE_COLD_S = 330.0
+
+
+def probe_tpu(timeout_s: float = PROBE_COLD_S) -> bool:
+    """One trivial-matmul health probe in a killable child.
+
+    The timeout must be generous enough for a cold relay dial (~3 min
+    measured) -- a probe that succeeds also WARMS the dial, so the
+    measurement child that follows starts fast."""
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((128,128)); "
             "assert float((x@x)[0,0]) == 128.0; print('healthy')")
     return run_child([sys.executable, "-c", code], timeout_s) == 0
@@ -328,7 +339,7 @@ def main():
             if probe_budget <= 5.0:
                 failure_note = "budget exhausted during lock wait"
                 break
-            if probe_tpu(min(90.0, probe_budget)):
+            if probe_tpu(min(PROBE_COLD_S, probe_budget)):
                 healthy = True
                 break
             log("[bench] TPU unhealthy, retry in 20s "

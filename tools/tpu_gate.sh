@@ -26,10 +26,13 @@ exec 9>"$LOCK"
 flock 9
 # GATE_ATTEMPTS tunes how long the lock is held while the TPU is down
 # (probe watchers use a small value so other waiters get a turn).
+# GATE_PROBE_S must cover a COLD relay dial (183s measured round 5; warm
+# ~10s) -- a 90s probe kills every cold dial and misreads a working chip
+# as down forever.
 for i in $(seq 1 "${GATE_ATTEMPTS:-20}"); do
   # -k 5: a probe wedged in native relay code can ignore SIGTERM; without
   # the SIGKILL escalation the gate would hang here holding the global lock
-  if timeout -k 5 90 python -c "
+  if timeout -k 5 "${GATE_PROBE_S:-330}" python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); assert float((x@x)[0,0]) == 128.0
 print('TPU healthy')" 2>/dev/null | grep -q healthy; then
